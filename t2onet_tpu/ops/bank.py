@@ -1,0 +1,182 @@
+"""Jittable operator executor ("the bank").
+
+The reference's Executor dispatches by regrouping the batch per op id
+(reference: models/actor.py:100-114, 157-172; executors/executor.py:33-55).
+That is host-driven and shape-dynamic. Here the dispatch is a fixed-shape
+*compute-all-then-blend*: every op's pixel math runs on the whole batch and
+a one-hot weight picks each sample's result. Gradients flow only through
+the selected op (the one-hot is constant), matching the reference's
+semantics, and the whole step compiles to one fused XLA region — ideal for
+the VPU and for pjit batch sharding.
+
+Op indexing: *executor index* 0..7 (order in OP_NAMES); the decoder's op
+vocab id maps via ``vocab_id - 3`` with ids < 3 (<NONE>/<START>/<END>)
+executing as identity (reference: executor.py:44-46, actor.py:165).
+
+Parameter heads: each op owns fc1 (512 -> operator_fc_dim) -> LeakyReLU ->
+fc2 (-> num_op_param) over the decoder context (reference: operators.py:
+43-55, 73-88). Here all 8 heads are stacked into two batched matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from t2onet_tpu.ops import operators as O
+from t2onet_tpu.ops.color import tanh_range
+
+N_OPS = 8
+MAX_PARAM = 24
+N_VOCAB_OPS = 11        # <NONE> <START> <END> + 8 ops
+VOCAB_OFFSET = 3        # vocab id - 3 = executor index
+
+
+class HeadParams(NamedTuple):
+    """Stacked per-op parameter-head weights.
+
+    w1: (N_OPS, ctx_dim, fc_dim);  b1: (N_OPS, fc_dim)
+    w2: (N_OPS, fc_dim, MAX_PARAM); b2: (N_OPS, MAX_PARAM)
+    fc2 outputs are padded to MAX_PARAM; op-specific squashing reads the
+    slice it needs and the rest is zeroed.
+    """
+
+    w1: jax.Array
+    b1: jax.Array
+    w2: jax.Array
+    b2: jax.Array
+
+
+def init_head_params(key, ctx_dim: int = 512, fc_dim: int = 512) -> HeadParams:
+    """Kaiming-uniform init matching torch nn.Linear defaults."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lim1 = 1.0 / jnp.sqrt(ctx_dim)
+    lim2 = 1.0 / jnp.sqrt(fc_dim)
+    return HeadParams(
+        w1=jax.random.uniform(k1, (N_OPS, ctx_dim, fc_dim), minval=-lim1, maxval=lim1),
+        b1=jax.random.uniform(k2, (N_OPS, fc_dim), minval=-lim1, maxval=lim1),
+        w2=jax.random.uniform(k3, (N_OPS, fc_dim, MAX_PARAM), minval=-lim2, maxval=lim2),
+        b2=jax.random.uniform(k4, (N_OPS, MAX_PARAM), minval=-lim2, maxval=lim2),
+    )
+
+
+def raw_head_features(heads: HeadParams, context: jax.Array) -> jax.Array:
+    """All-op parameter head forward: context (B, ctx) -> raw (B, N_OPS, 24).
+
+    Two batched matmuls (MXU) instead of 8 small per-group ones.
+    """
+    h = jnp.einsum("bc,ocf->obf", context, heads.w1) + heads.b1[:, None]
+    h = jax.nn.leaky_relu(h, negative_slope=0.01)   # torch LeakyReLU default
+    out = jnp.einsum("obf,ofp->obp", h, heads.w2) + heads.b2[:, None]
+    return jnp.transpose(out, (1, 0, 2))            # (B, N_OPS, 24)
+
+
+def squash_params(raw: jax.Array, cfg) -> jax.Array:
+    """Apply each op's output squashing to its slice of the raw features.
+
+    raw: (B, N_OPS, 24) -> squashed (B, N_OPS, 24), entries beyond each
+    op's param count zeroed (matching the reference's padding to 24,
+    actor.py:166). cfg: OperatorConfig.
+
+    Per-op squashers (reference: models/operators.py op_param_regressor):
+      brightness  tanh_range(±brightness_range)        (operators.py:266-269)
+      contrast    tanh                                  (operators.py:231-232)
+      saturation  tanh(relu(x))*hi + tanh(relu(-x))*lo  (operators.py:461-465)
+      color       raw (24)                              (operators.py:602-605)
+      inpaint     zeros (pseudo)                        (operators.py:651-657)
+      tone        raw (8)                               (operators.py:566-569)
+      sharpness   sigmoid * sharpness_range             (operators.py:340-343)
+      white       sigmoid                               (operators.py:501-502)
+    """
+    b = raw.shape[0]
+    x0 = raw[:, :, 0]                                # (B, N_OPS) first feature
+    cols = []
+    br = tanh_range(-cfg.brightness_range, cfg.brightness_range, initial=0.0)
+    sat_lo, sat_hi = cfg.saturation_range
+
+    def col(i, vec):                                 # scalar param in col 0
+        z = jnp.zeros((b, MAX_PARAM), raw.dtype)
+        return z.at[:, 0].set(vec)
+
+    cols.append(col(0, br(x0[:, 0])))                                    # brightness
+    cols.append(col(1, jnp.tanh(x0[:, 1])))                              # contrast
+    sat = (jnp.tanh(jax.nn.relu(x0[:, 2])) * sat_hi
+           + jnp.tanh(jax.nn.relu(-x0[:, 2])) * sat_lo)
+    cols.append(col(2, sat))                                             # saturation
+    cols.append(raw[:, 3, :])                                            # color: raw 24
+    cols.append(jnp.zeros((b, MAX_PARAM), raw.dtype))                    # inpaint: zeros
+    tone = jnp.zeros((b, MAX_PARAM), raw.dtype).at[:, :8].set(raw[:, 5, :8])
+    cols.append(tone)                                                    # tone: raw 8
+    cols.append(col(6, jax.nn.sigmoid(x0[:, 6]) * cfg.sharpness_range))  # sharpness
+    cols.append(col(7, jax.nn.sigmoid(x0[:, 7])))                        # white
+    return jnp.stack(cols, axis=1)                   # (B, N_OPS, 24)
+
+
+def predict_params(heads: HeadParams, context: jax.Array, cfg) -> jax.Array:
+    """context (B, ctx) -> squashed per-op params (B, N_OPS, 24)."""
+    return squash_params(raw_head_features(heads, context), cfg)
+
+
+def execute_onehot(img, onehot, params, mask=None, inpaint_fn=None):
+    """Execute a (possibly different) op per sample, fixed shapes.
+
+    :param img: (B, 3, H, W)
+    :param onehot: (B, N_OPS + 1) — slot 0 = identity (special tokens),
+        slots 1..8 = executor ops 0..7.
+    :param params: (B, N_OPS, 24) per-op parameters (from predict_params)
+        OR (B, 24) one shared parameter row used for every op.
+    :param mask: (B, 1|3, H, W) or None.
+    :return: (B, 3, H, W) edited images.
+    """
+    per_op = params.ndim == 3
+
+    def p(i):
+        return params[:, i] if per_op else params
+
+    # Per-branch clamp to [0,1] (the reference clamps inside each
+    # Operator.execute, operators.py:130). Clamping *before* the one-hot
+    # blend also keeps inf from an unselected branch (e.g. a near-zero
+    # curve_sum in color/tone) from poisoning the blend with NaN.
+    outs = [img]                                      # identity slot
+    outs.append(jnp.clip(O.brightness(img, p(0)), 0.0, 1.0))
+    outs.append(jnp.clip(O.contrast(img, p(1)), 0.0, 1.0))
+    outs.append(jnp.clip(O.saturation(img, p(2)), 0.0, 1.0))
+    outs.append(jnp.clip(O.color_curve(img, p(3)), 0.0, 1.0))
+    outs.append(jnp.clip(O.inpaint(img, p(4), inpaint_fn), 0.0, 1.0))
+    outs.append(jnp.clip(O.tone_curve(img, p(5)[:, :8]), 0.0, 1.0))
+    outs.append(jnp.clip(O.sharpness(img, p(6)), 0.0, 1.0))
+    outs.append(O.white(img, p(7)))
+    stacked = jnp.stack(outs, axis=1)                 # (B, 9, 3, H, W)
+    blended = jnp.einsum("bk,bkchw->bchw", onehot, stacked)
+    out = O.mask_blend(blended, img, mask)
+    # identity must stay exactly the input (reference returns img untouched
+    # for op_ind < 0, executor.py:44-46) — skip the clamp for that slot.
+    return jnp.where(onehot[:, 0:1, None, None] > 0.5, img, out)
+
+
+def vocab_onehot(op_vocab_ids: jax.Array) -> jax.Array:
+    """Decoder op-vocab ids (B,) -> execute_onehot weights (B, N_OPS+1).
+
+    ids < 3 (NONE/START/END) select the identity slot.
+    """
+    exec_idx = op_vocab_ids - VOCAB_OFFSET
+    slot = jnp.where(exec_idx < 0, 0, exec_idx + 1)
+    return jax.nn.one_hot(slot, N_OPS + 1, dtype=jnp.float32)
+
+
+def execute_bank(img, op_vocab_ids, params, mask=None, inpaint_fn=None):
+    """The Executor.execute equivalent for a whole batch of mixed ops.
+
+    :param op_vocab_ids: (B,) decoder vocab ids (0..10).
+    :param params: (B, N_OPS, 24) or (B, 24) — see execute_onehot.
+    Returns (out_imgs (B,3,H,W), chosen_params (B, 24)).
+    """
+    onehot = vocab_onehot(op_vocab_ids)
+    out = execute_onehot(img, onehot, params, mask, inpaint_fn)
+    if params.ndim == 3:
+        chosen = jnp.einsum("bk,bkp->bp", onehot[:, 1:], params)
+    else:
+        chosen = params * (1.0 - onehot[:, 0:1])
+    return out, chosen
