@@ -1,0 +1,171 @@
+"""FiveK dataset readers (host-side numpy).
+
+Behavioral spec: reference datasets/FiveKdataset.py. Annotations are JSON
+lists of {input, output, request, request_idx}; planner actions live in
+`{act_dir}/{phase}{i}/{i:05d}.json` with per-step edit JPEGs.
+
+Image loading matches the reference exactly (cv2 BGR->RGB, /255, CHW;
+train resize to square train_img_size, eval short-side-600 bounded;
+reference utils/visual_utils.py:6-47).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from t2onet_tpu.ops import bank
+from t2onet_tpu.data.text import START_ID, END_ID
+
+# Planner op-name order == executor order (reference FiveKdataset.py:78-79).
+ACTIONS = ["brightness", "contrast", "saturation", "color", "inpaint",
+           "tone", "sharpness", "white"]
+ACT2PN = {"brightness": 1, "contrast": 1, "saturation": 1, "color": 24,
+          "inpaint": 0, "tone": 8, "sharpness": 1, "white": 0}
+
+
+def load_train_img(path: str, img_size: int) -> np.ndarray:
+    """Square-resized training image (reference visual_utils.py:6-14)."""
+    import cv2
+
+    img = cv2.imread(path)
+    img = cv2.resize(img, (img_size, img_size))
+    img = img[:, :, ::-1].astype(np.float32)
+    return img.transpose(2, 0, 1) / 255.0
+
+
+def load_infer_img_short_size_bounded(path: str, short_size: int = 600
+                                      ) -> np.ndarray:
+    """Short-side-bounded eval image (reference visual_utils.py:34-47)."""
+    import cv2
+
+    img = cv2.imread(path)
+    h, w, _ = img.shape
+    ratio = short_size / min(h, w)
+    img = cv2.resize(img, (int(np.round(w * ratio)), int(np.round(h * ratio))))
+    img = img[:, :, ::-1].astype(np.float32)
+    return img.transpose(2, 0, 1) / 255.0
+
+
+def analyze_traj(dists: List[float]) -> int:
+    """Truncate a planner trajectory where per-step improvement drops below
+    1% of the initial distance (reference FiveKdataset.py:54-64)."""
+    seq = np.asarray(dists, np.float64)
+    diffs = seq[:-1] - seq[1:]
+    over = diffs / seq[0]
+    below = np.where(~(over > 0.01))[0]
+    trunc = int(below[0]) if len(below) else len(over)
+    return max(trunc, 1)
+
+
+def parse_action_json(act: Dict, op_max_len: int, truncate: bool = True):
+    """Planner JSON -> (op_seq (op_max_len+2,), params (op_max_len,24),
+    trunc_len). Spec: reference FiveKdataset.py:86-114."""
+    init_dist = act["init distance"]
+    seq = act["operation sequence"][0]          # top beam
+    dists = [init_dist] + [v[2] for v in seq]
+    trunc = min(analyze_traj(dists), op_max_len) if truncate else op_max_len
+    seq = seq[:trunc]
+    params = np.zeros((op_max_len, bank.MAX_PARAM), np.float32)
+    op_seq = np.zeros(op_max_len + 2, np.int64)
+    i = -1
+    for i, (name, vals, _dist) in enumerate([s[:3] for s in seq]):
+        op_seq[i + 1] = ACTIONS.index(name) + bank.VOCAB_OFFSET
+        pn = ACT2PN[name]
+        vals = np.asarray(vals, np.float32)
+        if name in ("color", "tone"):
+            # normalize curve params by max-abs (FiveKdataset.py:103-105)
+            params[i, :pn] = vals / max(np.abs(vals).max(), 1e-12)
+        elif pn > 0:
+            # huge scalar fits are planner failures -> predict 0
+            params[i, :pn] = 0.0 if abs(float(vals[0])) > 5 else vals[:pn]
+    op_seq[0] = START_ID
+    op_seq[i + 2] = END_ID
+    return op_seq, params, len(seq)
+
+
+class FiveK:
+    """Image-pair + request dataset (reference FiveKdataset.py:24-51)."""
+
+    def __init__(self, img_dir: str, anno_dir: str, phase: str,
+                 session: int = 1, train_img_size: int = 128,
+                 req_max_len: int = 15):
+        self.img_dir = img_dir
+        self.phase = phase
+        self.train_img_size = train_img_size
+        self.req_max_len = req_max_len
+        with open(os.path.join(anno_dir, f"{phase}_sess_{session}.json")) as f:
+            self.data = json.load(f)
+
+    def __len__(self):
+        return len(self.data)
+
+    def _load(self, name: str) -> np.ndarray:
+        path = os.path.join(self.img_dir, name)
+        if self.phase == "train":
+            return load_train_img(path, self.train_img_size)
+        return load_infer_img_short_size_bounded(path, 600)
+
+    def __getitem__(self, item: int):
+        d = self.data[item]
+        return (self._load(d["input"]), self._load(d["output"]),
+                np.asarray(d["request_idx"], np.int64), d["request"])
+
+
+class FiveKAct(FiveK):
+    """Adds planner pseudo-gt actions (reference FiveKdataset.py:67-135)."""
+
+    def __init__(self, img_dir: str, anno_dir: str, act_dir: str, phase: str,
+                 session: int = 1, train_img_size: int = 128,
+                 op_max_len: int = 5):
+        super().__init__(img_dir, anno_dir, phase, session, train_img_size)
+        self.act_dir = act_dir
+        self.op_max_len = op_max_len
+
+    def get_act(self, item: int):
+        item_dir = os.path.join(self.act_dir, f"{self.phase}{item}")
+        with open(os.path.join(item_dir, f"{item:05d}.json")) as f:
+            act = json.load(f)
+        op_seq, params, trunc = parse_action_json(act, self.op_max_len)
+        imgs = np.zeros(
+            (self.op_max_len, 3, self.train_img_size, self.train_img_size),
+            np.float32)
+        for i in range(trunc):
+            p = os.path.join(item_dir, f"edit{i}.jpg")
+            if os.path.exists(p):
+                imgs[i] = load_train_img(p, self.train_img_size)
+        return op_seq, params, imgs
+
+    def __getitem__(self, item: int):
+        d = self.data[item]
+        input_img = self._load(d["input"])
+        output_img = self._load(d["output"])
+        ops, params, imgs = self.get_act(item)
+        output_imgs = np.concatenate([imgs, output_img[None]], axis=0)
+        return (input_img, output_imgs, np.asarray(d["request_idx"], np.int64),
+                ops, params, d["request"])
+
+    def batches(self, batch_size: int, steps: int, shuffle: bool = True,
+                seed: int = 0):
+        rng = np.random.default_rng(seed)
+        idxs = np.arange(len(self))
+        i = len(self)
+        for _ in range(steps):
+            if i + batch_size > len(self):
+                i = 0
+                if shuffle:
+                    rng.shuffle(idxs)
+            sel = idxs[i:i + batch_size]
+            i += batch_size
+            items = [self[int(j)] for j in sel]
+            yield {
+                "img_x": np.stack([it[0] for it in items]),
+                "img_y": np.stack([it[1] for it in items]),
+                "x": np.stack([it[2] for it in items]).astype(np.int32),
+                "y": np.stack([it[3] for it in items]).astype(np.int32),
+                "gt_params": np.stack([it[4] for it in items]),
+                "req": [it[5] for it in items],
+            }

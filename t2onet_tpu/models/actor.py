@@ -1,0 +1,256 @@
+"""The Actor: language + vision -> operation program -> edited image.
+
+Rebuilds the reference Actor (reference: models/actor.py:36-364) TPU-first:
+
+- `supervised` (teacher forcing; reference actor.py:116-181): the per-step
+  Python loop with host-side `divide_op_group` regrouping becomes a
+  statically-unrolled in-graph loop over the fixed op horizon using the
+  one-hot operator bank (t2onet_tpu.ops.bank). Since no loss in the
+  reference training consumes the teacher-forced *images* (train loss =
+  op NLL + param MSE; train_seq2seqL1.py:56-61), image execution is
+  skipped unless `with_images=True` — pure dead compute in the reference.
+- `episode` (free rollout; reference actor.py:184-284): `decoder_max_len`
+  steps fully in-graph, with the explore-prob smoothing, the hard op mask
+  blocking NONE/START/inpaint/color_bg, and the no-repeat mask update
+  (actor.py:211, 223-236) as one-hot arithmetic. Sampling is a Gumbel
+  categorical under an explicit PRNG key.
+
+Everything here jits, vmaps, and pjits over a batch-sharded mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from t2onet_tpu.config import ModelConfig, OperatorConfig
+from t2onet_tpu.models.decoder import DecoderStep
+from t2onet_tpu.models.encoder import RNNEncoder
+from t2onet_tpu.models.resnet import ResNet
+from t2onet_tpu.models.common import (
+    torch_linear_kernel_init,
+    torch_linear_bias_init_for,
+)
+from t2onet_tpu.ops import bank
+
+# Block NONE, START, inpaint_obj, color_bg during rollout
+# (reference: actor.py:211; vocab order <NONE> <START> <END> brightness
+#  contrast saturation hue inpaint_obj tint sharpness color_bg).
+EPISODE_OP_MASK = jnp.array(
+    [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0, 0.0], dtype=jnp.float32
+)
+
+
+class ParamHeads(nn.Module):
+    """Stacked per-op parameter heads (reference operators.py:43-55, 73-88)."""
+
+    opcfg: OperatorConfig
+    ctx_dim: int = 512
+    fc_dim: int = 512
+
+    @nn.compact
+    def __call__(self, context):
+        w1 = self.param(
+            "w1",
+            lambda k, s: jax.random.uniform(
+                k, s, minval=-1.0 / self.ctx_dim ** 0.5,
+                maxval=1.0 / self.ctx_dim ** 0.5),
+            (bank.N_OPS, self.ctx_dim, self.fc_dim),
+        )
+        b1 = self.param(
+            "b1",
+            lambda k, s: jax.random.uniform(
+                k, s, minval=-1.0 / self.ctx_dim ** 0.5,
+                maxval=1.0 / self.ctx_dim ** 0.5),
+            (bank.N_OPS, self.fc_dim),
+        )
+        w2 = self.param(
+            "w2",
+            lambda k, s: jax.random.uniform(
+                k, s, minval=-1.0 / self.fc_dim ** 0.5,
+                maxval=1.0 / self.fc_dim ** 0.5),
+            (bank.N_OPS, self.fc_dim, bank.MAX_PARAM),
+        )
+        b2 = self.param(
+            "b2",
+            lambda k, s: jax.random.uniform(
+                k, s, minval=-1.0 / self.fc_dim ** 0.5,
+                maxval=1.0 / self.fc_dim ** 0.5),
+            (bank.N_OPS, bank.MAX_PARAM),
+        )
+        heads = bank.HeadParams(w1=w1, b1=b1, w2=w2, b2=b2)
+        return bank.squash_params(bank.raw_head_features(heads, context),
+                                  self.opcfg)
+
+
+class Actor(nn.Module):
+    cfg: ModelConfig
+    opcfg: OperatorConfig
+    vocab_size: int
+    word2vec: Optional[object] = None   # np.ndarray (vocab-4, 300) or None
+    explore_prob: float = 0.05
+
+    def setup(self):
+        self.vis_encoder = ResNet(depth=self.cfg.resnet_depth,
+                                  num_outputs=self.cfg.vis_feat_dim)
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.lang_encoder = RNNEncoder(
+            vocab_size=self.vocab_size,
+            word_vec_dim=self.cfg.word_vec_dim,
+            hidden_size=self.cfg.hidden_size,
+            n_layers=self.cfg.n_layers,
+            n_spec_token=self.cfg.n_spec_token,
+            pad_id=self.cfg.null_id,
+            fix_embedding=self.cfg.fix_input_embedding,
+            word2vec=self.word2vec,
+        )
+        self.decoder = DecoderStep(
+            op_vocab_size=self.cfg.op_vocab_size,
+            word_vec_dim=self.cfg.word_vec_dim,
+            hidden_size=self.cfg.decoder_hidden,
+            n_layers=self.cfg.n_layers,
+            use_attention=self.cfg.use_attention,
+        )
+        self.heads = ParamHeads(opcfg=self.opcfg,
+                                ctx_dim=self.cfg.decoder_hidden,
+                                fc_dim=self.cfg.operator_fc_dim)
+
+    # ------------------------------------------------------------------
+    def vis_feat(self, img, train: bool):
+        """ResNet feature + BN + relu (reference actor.py:142-143)."""
+        feat = self.vis_encoder(img, train=train)
+        return nn.relu(self.bn1(feat, use_running_average=not train))
+
+    def __call__(self, x, img_x):
+        """Default apply = greedy episode (used for init/compile checks)."""
+        return self.episode(x, img_x, rng=None, sample=False, train=False)
+
+    # ------------------------------------------------------------------
+    def supervised(self, x, y, img_x, img_y, train: bool = True,
+                   with_images: bool = False, mask=None):
+        """Teacher-forced pass (reference actor.py:116-181).
+
+        :param x: (B, L) request tokens.
+        :param y: (B, T) gt op sequence [START, op*, END, NONE...].
+        :param img_x: (B, 3, H, W) input image.
+        :param img_y: (B, T-1, 3, H, W) per-step teacher images
+            (planner edits; last = gt).
+        :return: (pred_imgs (B, T-2, 3, H, W) or None,
+                  pred_params (B, T-2, 24),
+                  op_logprobs (B, T-1, n_cls))
+        """
+        enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
+        carry = self.decoder.init_carry(enc_hidden)
+        n_dec = y.shape[1] - 1                      # decode positions 1..n_dec
+
+        logprobs, params, imgs = [], [], []
+        cur_img = img_x
+        for i in range(1, n_dec + 1):
+            feat = self.vis_feat(cur_img, train)
+            logprob, carry, _, context = self.decoder(
+                y[:, i - 1], carry, enc_out, enc_valid, feat)
+            logprobs.append(logprob)
+            if i == n_dec:
+                break
+            per_op_params = self.heads(context)     # (B, 8, 24)
+            if with_images:
+                out_img, chosen = bank.execute_bank(
+                    cur_img, y[:, i], per_op_params, mask=mask)
+                imgs.append(out_img)
+            else:
+                chosen = bank.select_params(y[:, i], per_op_params)
+            params.append(chosen)
+            cur_img = img_y[:, i - 1]               # teacher forcing (actor.py:176)
+        pred_params = jnp.stack(params, axis=1)
+        op_logprobs = jnp.stack(logprobs, axis=1)
+        pred_imgs = jnp.stack(imgs, axis=1) if with_images else None
+        return pred_imgs, pred_params, op_logprobs
+
+    # ------------------------------------------------------------------
+    def episode(self, x, img_x, rng=None, sample: bool = False,
+                train: bool = False, masks=None):
+        """Free-running rollout (reference actor.py:184-284).
+
+        :param x: (B, L) request tokens.
+        :param img_x: (B, 3, H, W).
+        :param rng: PRNG key (required when sample=True).
+        :param masks: optional (B, n_vocab, 1, H, W) per-op gt masks
+            (GIER local editing); gathered by the predicted op.
+        :return: dict with
+            imgs   (B, S, 3, H, W) image after each step
+            ops    (B, S) chosen vocab op ids
+            params (B, S, 24) chosen (padded) parameters
+            logprobs (B, S, n_cls) decoder log-probs per step
+        """
+        b = x.shape[0]
+        steps = self.cfg.decoder_max_len
+        enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
+        carry = self.decoder.init_carry(enc_hidden)
+
+        op_mask = jnp.broadcast_to(EPISODE_OP_MASK, (b, self.cfg.op_vocab_size))
+        pred_op = jnp.full((b,), self.cfg.start_id, jnp.int32)
+        img = img_x
+
+        all_ops, all_params, all_imgs, all_logprobs, all_attn = [], [], [], [], []
+        for i in range(steps):
+            feat = self.vis_feat(img, train)
+            logprob, carry, attn, context = self.decoder(
+                pred_op, carry, enc_out, enc_valid, feat)
+            # explore smoothing + hard mask + renorm (actor.py:223-228)
+            probs = jnp.exp(logprob) * (1.0 - self.explore_prob) + self.explore_prob
+            probs = probs * op_mask
+            probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
+            if sample:
+                rng, sub = jax.random.split(rng)
+                pred_op = jax.random.categorical(sub, jnp.log(probs + 1e-30),
+                                                 axis=-1)
+            else:
+                pred_op = jnp.argmax(probs, axis=-1)
+            pred_op = pred_op.astype(jnp.int32)
+            # no-repeat: zero the chosen op (actor.py:235-236)
+            op_mask = op_mask * (1.0 - jax.nn.one_hot(
+                pred_op, self.cfg.op_vocab_size, dtype=op_mask.dtype))
+
+            step_mask = None
+            if masks is not None:
+                onehot_v = jax.nn.one_hot(pred_op, self.cfg.op_vocab_size,
+                                          dtype=img.dtype)
+                step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
+
+            per_op_params = self.heads(context)
+            img, chosen = bank.execute_bank(img, pred_op, per_op_params,
+                                            mask=step_mask)
+            all_ops.append(pred_op)
+            all_params.append(chosen)
+            all_imgs.append(img)
+            all_logprobs.append(logprob)
+            all_attn.append(attn)
+
+        return {
+            "imgs": jnp.stack(all_imgs, axis=1),
+            "ops": jnp.stack(all_ops, axis=1),
+            "params": jnp.stack(all_params, axis=1),
+            "logprobs": jnp.stack(all_logprobs, axis=1),
+            "attn": (jnp.stack(all_attn, axis=1)
+                     if all_attn[0] is not None else None),
+        }
+
+
+def select_end_images(imgs, ops, end_id: int = 2):
+    """Pick each sample's image at its first <END> token, else the last step
+    (reference train_seq2seqL1.py:79-84, test_seq2seqL1.py:62-67) —
+    mask-based instead of a host loop.
+
+    imgs (B, S, 3, H, W); ops (B, S) -> (B, 3, H, W).
+    """
+    b, s = ops.shape
+    is_end = ops == end_id
+    any_end = is_end.any(axis=1)
+    first_end = jnp.argmax(is_end, axis=1)          # 0 if none; gated below
+    idx = jnp.where(any_end, first_end, s - 1)
+    return jnp.take_along_axis(
+        imgs, idx[:, None, None, None, None], axis=1
+    ).squeeze(1)

@@ -166,6 +166,17 @@ def vocab_onehot(op_vocab_ids: jax.Array) -> jax.Array:
     return jax.nn.one_hot(slot, N_OPS + 1, dtype=jnp.float32)
 
 
+def select_params(op_vocab_ids: jax.Array, params: jax.Array) -> jax.Array:
+    """Chosen (padded) parameter row per sample without executing images.
+
+    op_vocab_ids (B,), params (B, N_OPS, 24) -> (B, 24); zeros for special
+    tokens (matching the reference's zero params for op_ind < 0,
+    executor.py:44-46).
+    """
+    onehot = vocab_onehot(op_vocab_ids)
+    return jnp.einsum("bk,bkp->bp", onehot[:, 1:], params)
+
+
 def execute_bank(img, op_vocab_ids, params, mask=None, inpaint_fn=None):
     """The Executor.execute equivalent for a whole batch of mixed ops.
 

@@ -1,0 +1,151 @@
+"""Beam-search operation planning (plain / eps-greedy / fixed-order).
+
+Control flow matches the reference planner (reference: utils/beam_search.py
+:196-264; eps-greedy variant beam_search_eps_greedy.py:283-302; fixed-order
+variant beam_search_fixed_order.py:250) — but all the compute (parameter
+fitting + operator execution + distances for every beam x op x restart)
+happens in ONE jitted device call per step via planner.fit. The host only
+does tiny list bookkeeping over <= beam_size sequences.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from t2onet_tpu.ops import bank
+from t2onet_tpu.ops import operators as O
+from t2onet_tpu.planner import fit as F
+
+OP_NAMES = list(O.OP_NAMES)
+
+
+def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
+              init_key):
+    """One device call: fit all (beam, op, start) candidates.
+
+    Returns (params (N,C,24), dists (N,C), outs (N,C,3,H,W)) as numpy,
+    plus the candidate op index per column.
+    """
+    onehot_rows = []
+    cand_ops = F.candidate_op_slots(op_slots, n_starts)
+    for op in cand_ops:
+        onehot_rows.append(np.eye(bank.N_OPS + 1, dtype=np.float32)[op + 1])
+    onehot = jnp.asarray(np.stack(onehot_rows))
+    init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
+    imgs = jnp.asarray(I_buff)
+    tgt = jnp.asarray(target)
+    params, dists = F.fit_op_params(imgs, tgt, onehot, init,
+                                    n_iters=n_iters, lr=lr)
+    outs = F.execute_candidates(imgs, onehot, params)
+    return (np.asarray(params), np.asarray(dists), np.asarray(outs), cand_ops)
+
+
+def beam_search(
+    I_0: np.ndarray,
+    I_gt: np.ndarray,
+    beam_size: int = 3,
+    operations: Sequence[int] = F.DEFAULT_PLAN_OPS,
+    max_step: int = 6,
+    err: float = 1e-2,
+    mode: str = "plain",
+    eps: float = 0.05,
+    n_starts: int = 2,
+    n_iters: int = 100,
+    lr: float = 0.05,
+    replace: bool = False,
+    seed: int = 0,
+) -> Tuple[List[List[Tuple[str, list, float]]], List[List[np.ndarray]]]:
+    """Plan an operation sequence for one (input, target) pair.
+
+    :param I_0, I_gt: (1, 3, H, W) float32 in [0,1].
+    :param mode: 'plain' (reference beam_search.py), 'eps' (eps-greedy
+        variant), 'fixed' (fixed-order variant: operations[i] at step i,
+        beam 1).
+    :return: (actions, images) — actions[b] = [(op_name, params, dist), ...]
+        per beam; images[b] = per-step edited images (1,3,H,W). Same
+        contract as the reference (beam_search.py:262-264).
+    """
+    rng = np.random.default_rng(seed)
+    if mode == "fixed":
+        beam_size = 1
+
+    min_dist = float("inf")
+    sequences: List[Tuple[list, float]] = [([], float("inf"))]
+    I_buff = I_0.copy()                           # (n_beam, 3, H, W)
+
+    for step in range(max_step):
+        if mode == "fixed":
+            step_ops = [operations[step]] if step < len(operations) else []
+        else:
+            step_ops = list(operations)
+        if not step_ops:
+            break
+        params, dists, outs, cand_ops = _fit_step(
+            I_buff, I_gt, step_ops, n_starts, n_iters, lr, init_key=seed + step)
+
+        all_candidates, I_tmp = [], []
+        no_update, finish = True, False
+        tmp_min = []
+        for j in range(len(sequences)):
+            used = ([] if replace else
+                    [OP_NAMES.index(a[0]) for a in sequences[j][0]])
+            for op in step_ops:
+                if op in used:
+                    continue
+                cols = np.where(cand_ops == op)[0]
+                best = cols[int(np.argmin(dists[j, cols]))]
+                dist = float(dists[j, best])
+                k = O.PARAM_COUNTS[op]
+                p_list = params[j, best, :k].tolist()
+                accept = (dist < min_dist) if mode == "plain" else True
+                if accept:
+                    tmp_min.append(dist)
+                    seq = sequences[j][0] + [(OP_NAMES[op], p_list, dist)]
+                    all_candidates.append((seq, dist))
+                    I_tmp.append(outs[j, best])
+                    no_update = False
+                    if dist < err:
+                        finish = True
+        if tmp_min:
+            min_dist = min(min_dist, min(tmp_min))
+
+        if len(all_candidates) < beam_size:       # (beam_search.py:249-252)
+            all_candidates += sequences
+            I_tmp += list(I_buff)
+        order = np.argsort([c[1] for c in all_candidates], kind="stable")
+        if mode == "eps" and rng.random() < eps:
+            order = rng.permutation(len(all_candidates))
+        keep = order[:beam_size]
+        sequences = [all_candidates[i] for i in keep]
+        I_buff = np.stack([I_tmp[i] for i in keep])
+        if no_update or finish:
+            break
+
+    actions = [list(seq) for seq, _ in sequences]
+    images = _replay_images(I_0, actions)
+    return actions, images
+
+
+def _replay_images(I_0, actions):
+    """Recompute per-step images for each surviving beam (host->device,
+    tiny). The reference keeps them alongside candidates; recomputing the
+    <= beam*step survivors costs less than hauling every candidate image."""
+    images = []
+    for seq in actions:
+        imgs = []
+        cur = jnp.asarray(I_0)
+        for (name, p_list, _d) in seq:
+            op = OP_NAMES.index(name)
+            p = jnp.asarray(np.asarray(p_list, np.float32)[None])
+            cur = O.apply_op_by_index(cur, op, p)
+            imgs.append(np.asarray(cur))
+        images.append(imgs)
+    return images
+
+
+def init_distance(I_0, I_gt) -> float:
+    """L1 'init distance' recorded in planner JSONs (beam_search.py:331)."""
+    return float(np.abs(np.asarray(I_0) - np.asarray(I_gt)).mean())

@@ -1,0 +1,92 @@
+"""Checkpoint / resume with best-model tracking.
+
+The reference saves weights-only state_dicts every `checkpoint_every` iters
+plus a tracked-best copy and a stats JSON (reference:
+experiments/t2onet/train_seq2seqL1.py:103-131) — and loses optimizer state
+on resume. Here full training state (params + batch_stats + opt state +
+step) is checkpointed with orbax, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.stats: Dict[str, Any] = {
+            "val_dist": [],
+            "train_iter": [],
+            "best_iter": 0,
+            "best_val_dist": float("inf"),
+        }
+        self._load_stats()
+
+    # -- stats ---------------------------------------------------------
+    def _stats_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "stats.json")
+
+    def _load_stats(self):
+        if os.path.exists(self._stats_path()):
+            with open(self._stats_path()) as f:
+                self.stats = json.load(f)
+
+    def _save_stats(self):
+        with open(self._stats_path(), "w") as f:
+            json.dump(self.stats, f)
+
+    # -- save / restore --------------------------------------------------
+    def _state_tree(self, state):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+
+    def save(self, state, itr: int, val_dist: Optional[float] = None) -> bool:
+        """Save a step checkpoint; track best by val L1. Returns is_best."""
+        path = os.path.join(self.ckpt_dir, f"checkpoint_iter{itr:08d}")
+        self._ckptr.save(path, self._state_tree(state), force=True)
+        is_best = False
+        if val_dist is not None:
+            self.stats["val_dist"].append(float(val_dist))
+            self.stats["train_iter"].append(int(itr))
+            if val_dist < self.stats["best_val_dist"]:
+                self.stats["best_val_dist"] = float(val_dist)
+                self.stats["best_iter"] = int(itr)
+                best = os.path.join(self.ckpt_dir, "checkpoint_best")
+                self._ckptr.save(best, self._state_tree(state), force=True)
+                is_best = True
+        self._save_stats()
+        return is_best
+
+    def restore(self, state, which: str = "best"):
+        """Restore into the structure of `state` (a TrainState template)."""
+        if which == "best":
+            path = os.path.join(self.ckpt_dir, "checkpoint_best")
+        elif which == "latest":
+            cands = sorted(
+                d for d in os.listdir(self.ckpt_dir)
+                if d.startswith("checkpoint_iter"))
+            if not cands:
+                raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
+            path = os.path.join(self.ckpt_dir, cands[-1])
+        else:
+            path = which
+        template = jax.tree_util.tree_map(lambda x: x, self._state_tree(state))
+        restored = self._ckptr.restore(path, template)
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )

@@ -2,16 +2,23 @@
 
 JAX's CPU backend is the 'fake backend' (SURVEY.md §4): no TPU needed in CI,
 and sharding/pjit paths are exercised on 8 virtual devices.
+
+NOTE: this machine's sitecustomize registers the axon TPU plugin at
+interpreter startup and pins JAX_PLATFORMS=axon, so plain env mutation here
+is too late — we override through jax.config before any backend client is
+created.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,141 @@
+"""Shape / jit / semantic tests for the Actor (encoder, decoder, rollouts)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2onet_tpu.config import ModelConfig, OperatorConfig
+from t2onet_tpu.models.actor import Actor, select_end_images, EPISODE_OP_MASK
+from t2onet_tpu.models.encoder import RNNEncoder
+
+B, L, T, HW = 2, 9, 7, 32
+VOCAB = 40
+
+
+@pytest.fixture(scope="module")
+def actor_and_vars():
+    cfg = ModelConfig(encoder_max_len=L, decoder_max_len=5)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=VOCAB)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.array([[1, 5, 6, 7, 2, 0, 0, 0, 0],
+                   [1, 8, 2, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (B, 3, HW, HW))
+    variables = actor.init({"params": rng}, x, img)
+    return actor, variables, x, img
+
+
+def test_episode_shapes(actor_and_vars):
+    actor, variables, x, img = actor_and_vars
+    out = actor.apply(variables, x, img, method=Actor.episode)
+    assert out["imgs"].shape == (B, 5, 3, HW, HW)
+    assert out["ops"].shape == (B, 5)
+    assert out["params"].shape == (B, 5, 24)
+    assert out["logprobs"].shape == (B, 5, 11)
+    assert out["attn"].shape == (B, 5, L)
+    assert np.isfinite(np.asarray(out["imgs"])).all()
+
+
+def test_episode_never_picks_blocked_ops(actor_and_vars):
+    """NONE/START/inpaint/color_bg are hard-blocked (reference actor.py:211)."""
+    actor, variables, x, img = actor_and_vars
+    out = actor.apply(variables, x, img, method=Actor.episode)
+    ops = np.asarray(out["ops"])
+    blocked = np.where(np.asarray(EPISODE_OP_MASK) == 0)[0]
+    assert not np.isin(ops, blocked).any()
+
+
+def test_episode_no_repeat(actor_and_vars):
+    """A chosen op is never chosen again (reference actor.py:235-236)."""
+    actor, variables, x, img = actor_and_vars
+    out = actor.apply(variables, x, img, method=Actor.episode)
+    ops = np.asarray(out["ops"])
+    for b in range(B):
+        assert len(set(ops[b])) == len(ops[b]), ops[b]
+
+
+def test_episode_greedy_deterministic_and_jittable(actor_and_vars):
+    actor, variables, x, img = actor_and_vars
+    f = jax.jit(lambda v, x_, i_: actor.apply(v, x_, i_, method=Actor.episode))
+    o1 = f(variables, x, img)
+    o2 = actor.apply(variables, x, img, method=Actor.episode)
+    np.testing.assert_array_equal(np.asarray(o1["ops"]), np.asarray(o2["ops"]))
+    np.testing.assert_allclose(np.asarray(o1["imgs"]), np.asarray(o2["imgs"]),
+                               atol=1e-4)
+
+
+def test_episode_sampling(actor_and_vars):
+    actor, variables, x, img = actor_and_vars
+    out = actor.apply(variables, x, img, rng=jax.random.PRNGKey(42),
+                      sample=True, method=Actor.episode)
+    ops = np.asarray(out["ops"])
+    blocked = np.where(np.asarray(EPISODE_OP_MASK) == 0)[0]
+    assert not np.isin(ops, blocked).any()
+    for b in range(B):
+        assert len(set(ops[b])) == len(ops[b])
+
+
+def test_supervised_shapes_and_grads(actor_and_vars):
+    actor, variables, x, img = actor_and_vars
+    y = jnp.array([[1, 3, 4, 2, 0, 0, 0],
+                   [1, 9, 2, 0, 0, 0, 0]], jnp.int32)
+    img_y = jnp.tile(img[:, None], (1, T - 1, 1, 1, 1))
+    gt_params = jnp.zeros((B, T - 2, 24)).at[:, 0, 0].set(0.5)
+
+    def loss_fn(params):
+        v = {**variables, "params": params}
+        (pred_imgs, pred_params, logprobs), updates = actor.apply(
+            v, x, y, img, img_y, train=True, mutable=["batch_stats"],
+            method=Actor.supervised)
+        assert pred_imgs is None
+        assert pred_params.shape == (B, T - 2, 24)
+        assert logprobs.shape == (B, T - 1, 11)
+        tgt = jax.nn.one_hot(y[:, 1:], 11)
+        nll = -(logprobs * tgt).sum(-1).mean()
+        mse = ((pred_params - gt_params) ** 2).sum()
+        return nll + mse
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    # heads must receive gradient through the param loss
+    gh = g["heads"]["w2"]
+    assert float(jnp.abs(gh).sum()) > 0
+
+
+def test_supervised_with_images(actor_and_vars):
+    actor, variables, x, img = actor_and_vars
+    y = jnp.array([[1, 3, 4, 2, 0, 0, 0],
+                   [1, 9, 2, 0, 0, 0, 0]], jnp.int32)
+    img_y = jnp.tile(img[:, None], (1, T - 1, 1, 1, 1))
+    pred_imgs, pred_params, logprobs = actor.apply(
+        variables, x, y, img, img_y, train=False, with_images=True,
+        method=Actor.supervised)
+    assert pred_imgs.shape == (B, T - 2, 3, HW, HW)
+    assert np.isfinite(np.asarray(pred_imgs)).all()
+
+
+def test_select_end_images():
+    imgs = jnp.arange(2 * 3 * 1 * 1 * 1, dtype=jnp.float32).reshape(2, 3, 1, 1, 1)
+    ops = jnp.array([[4, 2, 5], [4, 5, 6]])   # END at idx 1 / no END
+    out = select_end_images(imgs, ops, end_id=2)
+    assert float(out[0, 0, 0, 0]) == 1.0      # first END position
+    assert float(out[1, 0, 0, 0]) == 5.0      # last step fallback
+
+
+def test_encoder_masking():
+    """Outputs zero past length; final carry = state at true last token."""
+    enc = RNNEncoder(vocab_size=VOCAB, hidden_size=8, n_layers=2,
+                     word_vec_dim=16)
+    x_long = jnp.array([[1, 5, 6, 2, 0, 0]], jnp.int32)
+    x_short = jnp.array([[1, 5, 6, 2]], jnp.int32)
+    v = enc.init(jax.random.PRNGKey(0), x_long)
+    out_l, (h_l, c_l), valid = enc.apply(v, x_long)
+    out_s, (h_s, c_s), _ = enc.apply(v, x_short)
+    np.testing.assert_array_equal(np.asarray(valid[0]), [1, 1, 1, 1, 0, 0])
+    # padding must not influence outputs or final state
+    np.testing.assert_allclose(np.asarray(out_l[:, :4]), np.asarray(out_s),
+                               atol=1e-6)
+    assert np.abs(np.asarray(out_l[:, 4:])).max() == 0.0
+    np.testing.assert_allclose(np.asarray(h_l), np.asarray(h_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_s), atol=1e-6)

@@ -1,0 +1,92 @@
+"""Planner tests: on-device param fitting recovers known edits; beam search
+recovers known op sequences on synthetic pairs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from t2onet_tpu.ops import bank
+from t2onet_tpu.ops import operators as O
+from t2onet_tpu.planner import fit as F
+from t2onet_tpu.planner.beam import beam_search, init_distance
+
+
+def _img(seed=0, size=24):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    img = np.stack([0.3 + 0.4 * x, 0.3 + 0.4 * y, 0.5 * (x + y)], 0)
+    img += rng.uniform(-0.05, 0.05, img.shape).astype(np.float32)
+    return np.clip(img, 0.05, 0.95)[None]
+
+
+def test_fit_recovers_brightness_param():
+    img = jnp.asarray(_img())
+    target = O.apply_op_by_index(img, 0, jnp.asarray([[0.4]]))
+    onehot = jnp.asarray(np.eye(9, dtype=np.float32)[[1]])     # brightness
+    init = jnp.zeros((1, 24))
+    params, dists = F.fit_op_params(img, target, onehot, init,
+                                    n_iters=150, lr=0.05)
+    assert float(dists[0, 0]) < 5e-3
+    assert abs(float(params[0, 0, 0]) - 0.4) < 0.05
+
+
+def test_fit_multiple_candidates_ranked():
+    """Fit all 6 plan ops at once; the true op must win."""
+    img = jnp.asarray(_img(1))
+    target = O.apply_op_by_index(img, 2, jnp.asarray([[0.6]]))  # saturation
+    slots = list(F.DEFAULT_PLAN_OPS)
+    onehot = jnp.asarray(np.eye(9, dtype=np.float32)[
+        F.candidate_op_slots(slots, 1) + 1])
+    init = jnp.asarray(F.init_candidates(slots, 1))
+    params, dists = F.fit_op_params(img, target, onehot, init,
+                                    n_iters=150, lr=0.05)
+    d = np.asarray(dists[0])
+    assert slots[int(np.argmin(d))] == 2, d
+
+
+def test_beam_search_recovers_single_op():
+    img = _img(2)
+    target = np.asarray(O.apply_op_by_index(jnp.asarray(img), 1,
+                                            jnp.asarray([[0.5]])))  # contrast
+    actions, images = beam_search(img, target, beam_size=2, max_step=3,
+                                  err=1e-3, n_starts=1, n_iters=120, lr=0.05)
+    top = actions[0]
+    assert len(top) >= 1
+    assert top[0][0] == "contrast"
+    assert top[0][2] < 0.01                       # final dist tiny
+    assert images[0][0].shape == img.shape
+
+
+def test_beam_search_two_ops_improves():
+    img = _img(3)
+    t = O.apply_op_by_index(jnp.asarray(img), 0, jnp.asarray([[0.3]]))
+    t = O.apply_op_by_index(t, 2, jnp.asarray([[0.5]]))
+    target = np.asarray(t)
+    actions, _ = beam_search(img, target, beam_size=3, max_step=4,
+                             err=1e-3, n_starts=1, n_iters=100, lr=0.05)
+    top = actions[0]
+    names = [a[0] for a in top]
+    assert len(names) == len(set(names))          # no repeats
+    assert top[-1][2] < init_distance(img, target)
+    assert top[-1][2] < 0.02
+
+
+def test_beam_search_modes():
+    img = _img(4)
+    target = np.asarray(O.apply_op_by_index(jnp.asarray(img), 0,
+                                            jnp.asarray([[0.4]])))
+    a_fixed, _ = beam_search(img, target, operations=(0, 1), max_step=2,
+                             mode="fixed", n_starts=1, n_iters=80)
+    assert a_fixed[0][0][0] == "brightness"       # step 0 is op 0 by decree
+    a_eps, _ = beam_search(img, target, beam_size=2, max_step=2, mode="eps",
+                           eps=1.0, n_starts=1, n_iters=80, seed=3)
+    assert len(a_eps) >= 1                        # random beams still valid
+
+
+def test_init_candidates_reference_inits():
+    init = F.init_candidates([0, 3, 5], n_starts=2)
+    assert init.shape == (6, 24)
+    np.testing.assert_array_equal(init[0], 0)             # brightness zeros
+    np.testing.assert_array_equal(init[2, :24], 1)        # color ones
+    np.testing.assert_array_equal(init[4, :8], 1)         # tone ones
+    assert np.abs(init[1]).sum() > 0                      # jittered start
