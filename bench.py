@@ -1,12 +1,16 @@
 """Headline benchmark: 512px operator applications / sec / chip.
 
-Measures the hot path of the framework — executing sequences of
-differentiable editing operators on 512x512 RGB images — against the
-BASELINE.json north star (>= 10,000 512px op applications/sec/chip).
+Measures the hot path of the framework — executing K-step sequences of
+editing operators on 512x512 RGB images via the fused Pallas chain kernel
+(t2onet_tpu/ops/pallas_fused.py: one HBM read+write per image per chain,
+only the selected op branch computed per step) — against the BASELINE.json
+north star (>= 10,000 512px op applications/sec/chip).
 
-The workload mirrors the episode executor: each image gets a K-step
-sequence of mixed ops (different per image, as in a rollout batch) with
-per-step parameters; the chain runs under one jit (lax.scan over steps).
+Timing is readback-forced: N chained kernel calls (each consuming the
+previous output) followed by a single device->host readback, so async
+dispatch can't fake the number and the host<->device round-trip is
+amortized across the chain. (block_until_ready through the axon tunnel
+returns early; a data-dependent readback is the only honest barrier.)
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000}
@@ -23,53 +27,42 @@ BASELINE_OPS_PER_SEC = 10_000.0
 def build_workload(batch=32, size=512, steps=5, seed=0):
     import jax.numpy as jnp
 
+    from t2onet_tpu.ops.pallas_fused import vocab_ops_to_slots
+
     rng = np.random.default_rng(seed)
     y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
     base = np.stack([x, y, 0.5 * (x + y)], 0)
     imgs = np.clip(
         base[None] + rng.uniform(-0.2, 0.2, (batch, 3, size, size))
         .astype(np.float32), 0, 1)
-    # mixed plan-ops per (step, image): vocab ids 3..9 excluding inpaint(7)
-    op_choices = np.asarray([3, 4, 5, 6, 8, 9])
-    ops = rng.choice(op_choices, size=(steps, batch)).astype(np.int32)
-    params = rng.uniform(0.1, 0.6, size=(steps, batch, 24)).astype(np.float32)
-    return jnp.asarray(imgs), jnp.asarray(ops), jnp.asarray(params)
-
-
-def make_chain():
-    import jax
-
-    from t2onet_tpu.ops import bank
-
-    @jax.jit
-    def chain(imgs, ops, params):
-        def step(img, inp):
-            op_ids, p = inp
-            out, _ = bank.execute_bank(img, op_ids, p)
-            return out, None
-
-        out, _ = jax.lax.scan(step, imgs, (ops, params))
-        return out
-
-    return chain
+    # mixed plan-ops per (image, step): vocab ids 3..9 excluding inpaint(7)
+    vocab_ids = rng.choice([3, 4, 5, 6, 8, 9], size=(batch, steps)).astype(np.int32)
+    params = rng.uniform(0.1, 0.6, size=(batch, steps, 24)).astype(np.float32)
+    return (jnp.asarray(imgs), vocab_ops_to_slots(jnp.asarray(vocab_ids)),
+            jnp.asarray(params))
 
 
 def main():
     import jax
 
-    imgs, ops, params = build_workload()
-    chain = make_chain()
-    # warmup/compile
-    chain(imgs, ops, params).block_until_ready()
+    from t2onet_tpu.ops.pallas_fused import fused_chain
 
-    n_rep = 10
+    imgs, slots, params = build_workload()
+    f = jax.jit(fused_chain)
+
+    # warmup / compile (first Pallas compile through the tunnel is slow)
+    out = f(imgs, slots, params)
+    _ = np.asarray(out[0, 0, 0, :1])
+
+    n_rep = 30
     t0 = time.perf_counter()
+    out = imgs
     for _ in range(n_rep):
-        out = chain(imgs, ops, params)
-    out.block_until_ready()
+        out = f(out, slots, params)
+    _ = np.asarray(out[0, 0, 0, :1])        # one readback forces the chain
     dt = (time.perf_counter() - t0) / n_rep
 
-    batch, steps = imgs.shape[0], ops.shape[0]
+    batch, steps = imgs.shape[0], slots.shape[1]
     ops_per_sec = batch * steps / dt
     print(json.dumps({
         "metric": "512px operator applications/sec/chip",
@@ -78,7 +71,8 @@ def main():
         "vs_baseline": round(ops_per_sec / BASELINE_OPS_PER_SEC, 3),
         "detail": {
             "batch": batch, "steps": steps, "img": "512x512x3 f32",
-            "sec_per_chain_batch": round(dt, 5),
+            "kernel": "pallas fused_chain",
+            "ms_per_chain_call": round(dt * 1e3, 3),
             "device": str(jax.devices()[0]),
         },
     }))
