@@ -1,0 +1,101 @@
+"""Single-image demo: request -> operation program -> edited images.
+
+Spec: reference demo/seq2seqL1.py — tokenize --request, load checkpoint,
+greedy episode, write per-step images + a JSON of (op_name, params).
+
+  python -m t2onet_tpu.cli.demo --img photo.jpg \
+      --request "increase the brightness" --run_dir output/FiveK_trial_1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2onet_tpu.cli import common
+from t2onet_tpu.data.text import txt2idx
+from t2onet_tpu.data.fivek import ACT2PN, load_infer_img_short_size_bounded
+from t2onet_tpu.evals.visualize import save_img
+from t2onet_tpu.models.actor import Actor
+from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.loop import create_train_state, make_eval_episode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    common.add_base_args(p)
+    p.add_argument("--img", required=False, default=None)
+    p.add_argument("--request", default="increase the brightness")
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--short_size", type=int, default=600)
+    a = p.parse_args(argv)
+    common.maybe_force_cpu(a)
+    run_dir = common.resolve_run_dir(a)
+    out_dir = a.out_dir or os.path.join(run_dir, "demo")
+    os.makedirs(out_dir, exist_ok=True)
+
+    _, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "test")
+    actor, cfg = common.build_actor(a, len(vocab2id), w2v)
+
+    if a.img:
+        img = load_infer_img_short_size_bounded(a.img, a.short_size)[None]
+    else:  # no image given: procedural demo image
+        y, x = np.mgrid[0:a.img_size, 0:a.img_size].astype(np.float32)
+        y, x = y / (a.img_size - 1), x / (a.img_size - 1)
+        img = np.clip(np.stack([0.2 + 0.5 * x, 0.25 + 0.4 * y,
+                                0.3 + 0.3 * (x + y) / 2], 0), 0, 1)[None]
+    x_idx = txt2idx(a.request, vocab2id, a.encoder_max_len).astype(np.int32)
+
+    state = create_train_state(actor, jax.random.PRNGKey(a.manual_seed),
+                               jnp.asarray(x_idx), jnp.asarray(img))
+    ckpt_dir = os.path.join(run_dir, "seq2seqL1_model")
+    if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")):
+        state = CheckpointManager(ckpt_dir).restore(state, "best")
+        print(f"loaded checkpoint from {ckpt_dir}")
+    else:
+        print("WARNING: no checkpoint — using random init")
+
+    eval_fn = make_eval_episode(actor)
+    pred, out = eval_fn(state, {"x": jnp.asarray(x_idx),
+                                "img_x": jnp.asarray(img)})
+
+    save_img(img[0], os.path.join(out_dir, "input.jpg"))
+    ops = np.asarray(out["ops"][0])
+    steps = []
+    id2name = {v: k for k, v in
+               {"brightness": 3, "contrast": 4, "saturation": 5, "hue": 6,
+                "inpaint_obj": 7, "tint": 8, "sharpness": 9,
+                "color_bg": 10}.items()}
+    exec_names = ["brightness", "contrast", "saturation", "color", "inpaint",
+                  "tone", "sharpness", "white"]
+    for i, op in enumerate(ops):
+        save_img(np.asarray(out["imgs"][0, i]),
+                 os.path.join(out_dir, f"step{i}.jpg"))
+        if int(op) >= 3:
+            name = exec_names[int(op) - 3]
+            pn = ACT2PN[name]
+            steps.append({
+                "op": name,
+                "vocab_token": id2op.get(int(op), int(op)),
+                "params": np.asarray(out["params"][0, i, :max(pn, 1)])
+                .round(4).tolist(),
+            })
+        else:
+            steps.append({"op": id2op.get(int(op), int(op)), "params": []})
+        if int(op) == 2:          # <END>
+            break
+    save_img(np.asarray(pred[0]), os.path.join(out_dir, "output.jpg"))
+    with open(os.path.join(out_dir, "program.json"), "w") as f:
+        json.dump({"request": a.request, "steps": steps}, f, indent=2)
+    print(f"request: {a.request!r}")
+    print("program:", json.dumps(steps))
+    print(f"wrote {out_dir}/input.jpg, step*.jpg, output.jpg, program.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""FiveK evaluation: greedy rollout, L1/SSIM(/FID), variance probe, gallery.
+
+Protocol spec: reference experiments/t2onet/test_seq2seqL1.py — greedy
+episode per sample, image at first <END>, ImageEvaluator metrics, the
+`test_variance` probe over 10 canonical requests, and an HTML gallery with
+attention heatmaps.
+
+Usage (synthetic):
+  python -m t2onet_tpu.cli.test_fivek --synthetic --img_size 64 \
+      --run_dir output/FiveK_trial_1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2onet_tpu.cli import common
+from t2onet_tpu.data.text import txt2idx
+from t2onet_tpu.evals.html import HTML
+from t2onet_tpu.evals.metrics import TEST_TXTS, ImageEvaluator
+from t2onet_tpu.evals.visualize import update_web_row
+from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.loop import create_train_state, make_eval_episode
+
+
+def test(actor, state, ds, a, id2op, visualize: bool = False,
+         run_dir: str = "output/test") -> dict:
+    eval_fn = make_eval_episode(actor)
+    evaluator = ImageEvaluator()
+    webpage = None
+    if visualize:
+        webpage = HTML(os.path.join(run_dir, "test", "web"),
+                       f"inference result trial {a.trial}")
+        webpage.add_header(f"Visualization of result for trial {a.trial}")
+
+    n_batches = max(len(ds) // 16, 1)
+    sample_id = 0
+    for batch in ds.batches(16, n_batches, shuffle=False):
+        b = {"x": jnp.asarray(batch["x"]), "img_x": jnp.asarray(batch["img_x"])}
+        pred, out = eval_fn(state, b)
+        gt = jnp.asarray(batch["img_y"][:, -1])
+        for i in range(pred.shape[0]):
+            evaluator.update(b["img_x"][i:i + 1], pred[i:i + 1],
+                             gt[i:i + 1])
+            if webpage is not None and sample_id % 10 == 0:
+                update_web_row(
+                    webpage, sample_id, batch["req"][i],
+                    np.asarray(b["img_x"][i]), np.asarray(out["imgs"][i]),
+                    np.asarray(out["ops"][i]), np.asarray(out["params"][i]),
+                    id2op, gt_img=np.asarray(gt[i]),
+                    attn=None if out["attn"] is None
+                    else np.asarray(out["attn"][i]))
+            sample_id += 1
+    if webpage is not None:
+        webpage.save()
+    return evaluator.eval()
+
+
+def test_variance(actor, state, ds, a, vocab2id, n_images: int = 16) -> float:
+    """Sensitivity of outputs to the 10 canonical requests
+    (reference test_seq2seqL1.py:99-142)."""
+    eval_fn = make_eval_episode(actor)
+    reqs = np.concatenate(
+        [txt2idx(t, vocab2id, a.encoder_max_len) for t in TEST_TXTS], 0)
+    avg_var, n = 0.0, 0
+    for batch in ds.batches(1, n_images, shuffle=False):
+        img = jnp.asarray(batch["img_x"])
+        imgs = jnp.repeat(img, len(TEST_TXTS), axis=0)
+        pred, _ = eval_fn(state, {"x": jnp.asarray(reqs.astype(np.int32)),
+                                  "img_x": imgs})
+        n += 1
+        avg_var += (float(jnp.var(pred, axis=0).mean()) - avg_var) / n
+    print(f"avg var: {avg_var:.6f}")
+    return avg_var
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    common.add_base_args(p)
+    p.add_argument("--visualize", type=int, default=0)
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--skip_variance", action="store_true")
+    a = p.parse_args(argv)
+    common.maybe_force_cpu(a)
+    run_dir = common.resolve_run_dir(a)
+
+    ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "test")
+    actor, cfg = common.build_actor(a, len(vocab2id), w2v)
+    sample = next(ds.batches(2, 1, shuffle=False))
+    state = create_train_state(
+        actor, jax.random.PRNGKey(a.manual_seed),
+        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]))
+    ckpt_dir = os.path.join(run_dir, "seq2seqL1_model")
+    if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")) or \
+            a.checkpoint not in ("best", "latest"):
+        state = CheckpointManager(ckpt_dir).restore(state, a.checkpoint)
+        print(f"loaded checkpoint ({a.checkpoint}) from {ckpt_dir}")
+    else:
+        print("WARNING: no checkpoint found — evaluating random init")
+
+    res = test(actor, state, ds, a, id2op, visualize=bool(a.visualize),
+               run_dir=run_dir)
+    if not a.skip_variance:
+        res["variance"] = test_variance(actor, state, ds, a, vocab2id)
+    print({k: round(float(v), 5) for k, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()

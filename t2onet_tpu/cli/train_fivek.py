@@ -1,0 +1,130 @@
+"""FiveK trainer: alternating supervised / end-to-end-L1 iterations.
+
+Protocol spec: reference experiments/t2onet/train_seq2seqL1.py — odd iters
+teacher-forced (op NLL + param MSE), even iters free rollout with L1 to gt,
+one Adam over everything, periodic validation + best-checkpoint tracking.
+
+Usage (synthetic, no image files needed):
+  python -m t2onet_tpu.cli.train_fivek --synthetic --num_iters 200 \
+      --batch_size 16 --img_size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2onet_tpu.cli import common
+from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.parallel.mesh import make_mesh, shard_batch
+from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.loop import (
+    create_train_state,
+    make_episode_step,
+    make_eval_episode,
+    make_supervised_step,
+)
+
+
+def evaluate(actor, state, val_ds, batch_size: int, n_batches: int,
+             eval_fn) -> float:
+    dists, init_dists = [], []
+    for batch in val_ds.batches(batch_size, n_batches, shuffle=False):
+        b = {"x": jnp.asarray(batch["x"]), "img_x": jnp.asarray(batch["img_x"])}
+        pred, _ = eval_fn(state, b)
+        gt = jnp.asarray(batch["img_y"][:, -1])
+        dists.append(float(jnp.abs(pred - gt).mean()))
+        init_dists.append(float(jnp.abs(b["img_x"] - gt).mean()))
+    print(f"validation init L1 {np.mean(init_dists):.4f}  "
+          f"L1 {np.mean(dists):.4f}")
+    return float(np.mean(dists))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    common.add_base_args(p)
+    common.add_train_args(p)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard the batch over all local devices")
+    p.add_argument("--fs_only", action="store_true",
+                   help="ablation: purely supervised, no episode-L1 phase "
+                        "(reference experiments/t2onet-L1/train_actor_fs.py)")
+    a = p.parse_args(argv)
+    common.maybe_force_cpu(a)
+    run_dir = common.resolve_run_dir(a)
+
+    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
+    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val")
+    actor, cfg = common.build_actor(a, len(vocab2id), w2v)
+
+    sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))
+    state = create_train_state(
+        actor, jax.random.PRNGKey(a.manual_seed),
+        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]),
+        learning_rate=a.learning_rate)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"model: {n_params / 1e6:.2f}M params")
+
+    mesh = None
+    if a.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        print(f"data-parallel over {len(mesh.devices.ravel())} devices")
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqL1_model"))
+    if a.resume:
+        state = ckpt.restore(state, "latest")
+        print(f"resumed from iter {int(state.step)}")
+
+    logger = common.ScalarLogger(run_dir)
+    sup_step = make_supervised_step(actor, mesh=mesh)
+    epi_step = make_episode_step(actor, mesh=mesh, sample=True)
+    eval_fn = make_eval_episode(actor)
+
+    rng = jax.random.PRNGKey(a.manual_seed + 1)
+    it = train_ds.batches(a.batch_size, a.num_iters, shuffle=True)
+    avg = {"op_loss": 0.0, "param_loss": 0.0, "L1_loss": 0.0}
+    tik = time.time()
+    for itr, batch in enumerate(it, start=1):
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
+        if mesh is not None:
+            jb = shard_batch(jb, mesh)
+        if a.fs_only or itr % 2 == 1:       # supervised phase
+            state, m = sup_step(state, {k: jb[k] for k in
+                                        ("x", "y", "img_x", "img_y",
+                                         "gt_params")})
+        else:                  # episode L1 phase
+            rng, sub = jax.random.split(rng)
+            state, m = epi_step(
+                state, {"x": jb["x"], "img_x": jb["img_x"],
+                        "gt_img": jb["img_y"][:, -1]}, sub)
+        for k, v in m.items():
+            if k in avg:
+                avg[k] += (float(v) - avg[k]) * 2.0 / (itr + 1)
+
+        if itr % a.print_every == 0:
+            dt = (time.time() - tik) / a.print_every
+            tik = time.time()
+            print(f"iter {itr:6d}/{a.num_iters} op {avg['op_loss']:.3f} "
+                  f"param {avg['param_loss']:.3f} L1 {avg['L1_loss']:.3f} "
+                  f"{dt * 1e3:.0f} ms/it", flush=True)
+            logger.log(itr, **{k: float(v) for k, v in m.items()})
+
+        if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
+            val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
+                           a.val_batches, eval_fn)
+            best = ckpt.save(state, itr, val)
+            logger.log(itr, val_L1=val)
+            if best:
+                print(f"best model at iter {itr} (val L1 {val:.4f})")
+        if itr >= a.num_iters:
+            break
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

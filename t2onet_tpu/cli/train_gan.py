@@ -1,0 +1,223 @@
+"""T2ONet+D trainer: alternating supervised / conditional-GAN phases.
+
+Spec: reference experiments/t2onet+D-L1/train_seq2seqGAN.py — odd iters
+teacher-forced (same as the plain trainer); even iters: actor rollout ->
+<END> image -> text-conditioned multiscale D; loss_G = G_GAN + G_GAN_Feat
+(+ G_VGG if a perceptual fn is plugged) via optimizer_G over the ACTOR,
+loss_D = (D_fake + D_real)/2 via optimizer_D over D + cond-encoder; a
+third optimizer (fs) handles the supervised phase — all Adam.
+
+  python -m t2onet_tpu.cli.train_gan --cpu --synthetic --num_iters 20 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from t2onet_tpu.cli import common
+from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.models.gan import (
+    ConditionEncoding,
+    MultiscaleDiscriminator,
+    Seq2SeqGANLosses,
+)
+from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.loop import (
+    create_train_state,
+    make_eval_episode,
+    make_supervised_step,
+)
+from t2onet_tpu.cli.train_fivek import evaluate
+
+
+class GANState(flax.struct.PyTreeNode):
+    d_params: Any
+    d_batch_stats: Any
+    d_opt: Any
+    g_opt: Any
+
+
+class DiscBundle:
+    """Discriminator + condition encoder under one param tree."""
+
+    def __init__(self, cond_nc=512, ndf=64, n_layers=3, num_D=2):
+        self.disc = MultiscaleDiscriminator(cond_nc=cond_nc, ndf=ndf,
+                                            n_layers=n_layers, num_D=num_D)
+        self.cond = ConditionEncoding(cond_nc=cond_nc)
+
+    def init(self, rng, img6, hidden):
+        r1, r2 = jax.random.split(rng)
+        cv = self.cond.init(r1, hidden)
+        cond0 = jnp.zeros((img6.shape[0], 512))
+        dv = self.disc.init(r2, img6, cond0)
+        return ({"disc": dv["params"], "cond": cv["params"]},
+                {"disc": dv.get("batch_stats", {}),
+                 "cond": cv.get("batch_stats", {})})
+
+    def apply(self, params, batch_stats, _img6_unused, cond_hidden,
+              train=True):
+        """Encode the text condition; returns (cond code, cond batch_stats).
+
+        Note: D/cond BatchNorms use current-batch stats in training; their
+        running averages are not tracked (D is never used in eval mode)."""
+        cv = {"params": params["cond"], "batch_stats": batch_stats["cond"]}
+        if train:
+            cond, cu = self.cond.apply(cv, cond_hidden, train=True,
+                                       mutable=["batch_stats"])
+            return cond, cu["batch_stats"]
+        return self.cond.apply(cv, cond_hidden, train=False), \
+            batch_stats["cond"]
+
+    def disc_apply(self, params, batch_stats, train=True):
+        def f(x6, cond):
+            dv = {"params": params["disc"],
+                  "batch_stats": batch_stats["disc"]}
+            if train:
+                out, _ = self.disc.apply(dv, x6, cond, train=True,
+                                         mutable=["batch_stats"])
+            else:
+                out = self.disc.apply(dv, x6, cond, train=False)
+            return out
+        return f
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    common.add_base_args(p)
+    common.add_train_args(p)
+    p.add_argument("--gan_lr", type=float, default=2e-4)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--num_D", type=int, default=2)
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--lambda_feat", type=float, default=10.0)
+    p.add_argument("--adapt_pseudo_real", type=int, default=0,
+                   help="AdaptGAN: use the last planner edit as pseudo-real")
+    a = p.parse_args(argv)
+    common.maybe_force_cpu(a)
+    run_dir = common.resolve_run_dir(a)
+
+    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
+    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val")
+    actor, cfg = common.build_actor(a, len(vocab2id), w2v)
+
+    sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))
+    state = create_train_state(
+        actor, jax.random.PRNGKey(a.manual_seed),
+        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]),
+        learning_rate=a.learning_rate)
+
+    bundle = DiscBundle(ndf=64, n_layers=a.n_layers_D, num_D=a.num_D)
+    img6 = jnp.zeros((a.batch_size, 6, a.img_size, a.img_size))
+    hid0 = jnp.zeros((a.n_layers, a.batch_size, 2 * a.hidden_size))
+    d_params, d_bs = bundle.init(jax.random.PRNGKey(a.manual_seed + 7),
+                                 img6, hid0)
+    tx_d = optax.adam(a.gan_lr, b1=a.beta1, b2=0.999)
+    tx_g = optax.adam(a.gan_lr, b1=a.beta1, b2=0.999)
+    gan = GANState(d_params=d_params, d_batch_stats=d_bs,
+                   d_opt=tx_d.init(d_params), g_opt=tx_g.init(state.params))
+    losses = Seq2SeqGANLosses(n_layers=a.n_layers_D, num_D=a.num_D,
+                              lambda_feat=a.lambda_feat)
+
+    sup_step = make_supervised_step(actor, donate=False)
+    eval_fn = make_eval_episode(actor)
+
+    @jax.jit
+    def gan_step(state, gan, batch, rng):
+        """One GAN iteration: G update (actor) + D update."""
+        def rollout(params):
+            out, upd = actor.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"], batch["img_x"], rng=rng, sample=True, train=True,
+                mutable=["batch_stats"], method=Actor.episode)
+            fake = select_end_images(out["imgs"], out["ops"])
+            return fake, upd["batch_stats"]
+
+        # text condition from the (frozen) encoder hidden (seq2seqGAN.py:88-90)
+        _, (enc_h, _), _ = actor.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["x"], method=lambda m, x: m.lang_encoder(x))
+        enc_h = jax.lax.stop_gradient(enc_h)
+
+        def g_loss_fn(params):
+            fake, new_bs = rollout(params)
+            cond, cbs = bundle.apply(gan.d_params, gan.d_batch_stats,
+                                     None, enc_h, train=True)
+            ld = losses(bundle.disc_apply(gan.d_params, gan.d_batch_stats),
+                        batch["img_x"], fake, batch["gt_img"], cond,
+                        pseudo_real=batch.get("pseudo_real"))
+            g = ld["G_GAN"] + ld["G_GAN_Feat"] + ld["G_VGG"]
+            return g, (ld, fake, new_bs)
+
+        (g_total, (ld, fake, new_bs)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params)
+        g_updates, g_opt = tx_g.update(g_grads, gan.g_opt, state.params)
+        new_actor_params = optax.apply_updates(state.params, g_updates)
+
+        def d_loss_fn(d_params):
+            cond, _ = bundle.apply(d_params, gan.d_batch_stats, None, enc_h,
+                                   train=True)
+            ld2 = losses(bundle.disc_apply(d_params, gan.d_batch_stats),
+                         batch["img_x"], jax.lax.stop_gradient(fake),
+                         batch["gt_img"], cond,
+                         pseudo_real=batch.get("pseudo_real"))
+            return 0.5 * (ld2["D_fake"] + ld2["D_real"]), ld2
+
+        (d_total, ld2), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(gan.d_params)
+        d_updates, d_opt = tx_d.update(d_grads, gan.d_opt, gan.d_params)
+        new_d_params = optax.apply_updates(gan.d_params, d_updates)
+
+        state = state.replace(params=new_actor_params, batch_stats=new_bs,
+                              step=state.step + 1)
+        gan = gan.replace(d_params=new_d_params, d_opt=d_opt, g_opt=g_opt)
+        metrics = {"G_loss": g_total, "D_loss": d_total,
+                   "G_GAN": ld["G_GAN"], "G_GAN_Feat": ld["G_GAN_Feat"],
+                   "D_real": ld2["D_real"], "D_fake": ld2["D_fake"]}
+        return state, gan, metrics
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"))
+    logger = common.ScalarLogger(run_dir)
+    rng = jax.random.PRNGKey(a.manual_seed + 1)
+    tik = time.time()
+    for itr, batch in enumerate(
+            train_ds.batches(a.batch_size, a.num_iters, shuffle=True),
+            start=1):
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
+        if itr % 2 == 1:
+            state, m = sup_step(state, {k: jb[k] for k in
+                                        ("x", "y", "img_x", "img_y",
+                                         "gt_params")})
+        else:
+            rng, sub = jax.random.split(rng)
+            gb = {"x": jb["x"], "img_x": jb["img_x"],
+                  "gt_img": jb["img_y"][:, -1]}
+            if a.adapt_pseudo_real:
+                gb["pseudo_real"] = jb["img_y"][:, -2]
+            state, gan, m = gan_step(state, gan, gb, sub)
+        if itr % a.print_every == 0:
+            dt = (time.time() - tik) / a.print_every
+            tik = time.time()
+            print(f"iter {itr}/{a.num_iters} "
+                  + " ".join(f"{k} {float(v):.3f}" for k, v in m.items())
+                  + f" {dt * 1e3:.0f} ms/it", flush=True)
+            logger.log(itr, **{k: float(v) for k, v in m.items()})
+        if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
+            val = evaluate(actor, state, val_ds, min(a.batch_size, 16), 4,
+                           eval_fn)
+            ckpt.save(state, itr, val)
+        if itr >= a.num_iters:
+            break
+    print("GAN training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Planner dataset drivers: generate pseudo-gt action sequences.
+
+Writes the exact output layout the datasets consume (reference:
+preprocess/gen_greedy_seqs_FiveK.py:37-83):
+
+  {out_dir}/{phase}{i}/{i:05d}.json
+      {"request": ..., "init distance": d0,
+       "operation sequence": [[(op_name, params, dist), ...] x beam]}
+  {out_dir}/{phase}{i}/edit{k}.jpg    per-step images of the top beam
+
+FiveK defaults: beam 3, ops [0,1,2,3,5,6] (no inpaint/white), err 1e-2,
+L1 distance. GIER adds masks and all 8 ops with err 1e-3 (reference
+preprocess/gen_greedy_seqs_GIER.py:41-71).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from t2onet_tpu.planner.beam import beam_search, init_distance
+from t2onet_tpu.evals.visualize import save_img
+
+
+def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
+              out_dir: str, index: int, phase: str = "train",
+              beam_size: int = 3,
+              operations: Sequence[int] = (0, 1, 2, 3, 5, 6),
+              max_step: Optional[int] = None, err: float = 1e-2,
+              mode: str = "plain", n_starts: int = 2, n_iters: int = 100,
+              lr: float = 0.05, seed: int = 0) -> dict:
+    """Plan one (input, target) pair and write its JSON + edit images."""
+    if max_step is None:
+        max_step = len(operations)
+    actions, images = beam_search(
+        img_x, img_y, beam_size=beam_size, operations=operations,
+        max_step=max_step, err=err, mode=mode, n_starts=n_starts,
+        n_iters=n_iters, lr=lr, seed=seed + index)
+    item_dir = os.path.join(out_dir, f"{phase}{index}")
+    os.makedirs(item_dir, exist_ok=True)
+    info = {
+        "request": request,
+        "init distance": init_distance(img_x, img_y),
+        "operation sequence": [[list(a) for a in seq] for seq in actions],
+    }
+    with open(os.path.join(item_dir, f"{index:05d}.json"), "w") as f:
+        json.dump(info, f)
+    for k, img in enumerate(images[0]):             # top beam step images
+        save_img(np.asarray(img)[0], os.path.join(item_dir, f"edit{k}.jpg"))
+    return info
+
+
+def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
+                 limit: Optional[int] = None, log_every: int = 10,
+                 **plan_kwargs):
+    """Plan over an iterable of (img_x (1,3,H,W), img_y, request) tuples.
+
+    Embarrassingly parallel over pairs (per-pair JSON outputs) — multi-host
+    fleets split the index range.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    avg_time, n = 0.0, 0
+    for i, (img_x, img_y, request) in enumerate(pairs):
+        if limit is not None and i >= limit:
+            break
+        tik = time.time()
+        plan_pair(np.asarray(img_x), np.asarray(img_y), request, out_dir, i,
+                  phase=phase, **plan_kwargs)
+        n += 1
+        avg_time += (time.time() - tik - avg_time) / n
+        if n % log_every == 0:
+            print(f"planned {n} pairs, avg {avg_time:.2f}s/pair", flush=True)
+    print(f"done: {n} pairs, avg {avg_time:.2f}s/pair", flush=True)
+    return n

@@ -292,3 +292,29 @@ def test_head_shapes_and_grad(opcfg):
     assert np.isfinite(np.asarray(g.w1)).all()
     p = bank.predict_params(heads, ctx, opcfg)
     assert p.shape == (4, bank.N_OPS, 24)
+
+
+# ---------------------------------------------------------------------------
+# reverse-op machinery (reference operators.py:920-1010)
+# ---------------------------------------------------------------------------
+
+def test_reverse_brightness():
+    from t2onet_tpu.ops.reverse import apply_operator, get_reverse
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(np.clip(rng.uniform(0.2, 0.8, (1, 3, 16, 16)),
+                              0, 1).astype(np.float32))
+    out = apply_operator(img, None, [0.3], "brightness")
+    rev_param, rev_name = get_reverse(img, out, None, [0.3], "brightness")
+    assert rev_name == "brightness"
+    back = apply_operator(out, None, rev_param, rev_name)
+    assert float(jnp.abs(back - img).mean()) < 0.02
+
+
+def test_reverse_sharpness_blur_pair():
+    from t2onet_tpu.ops.reverse import rev_ops_dict, get_rev_param0
+
+    assert rev_ops_dict["sharpness"] == "blur"
+    assert rev_ops_dict["blur"] == "sharpness"
+    assert get_rev_param0([0.4], "contrast") == [-0.4]
+    assert get_rev_param0([0.4], "blur") == [0.4]
