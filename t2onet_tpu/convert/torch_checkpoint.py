@@ -1,0 +1,149 @@
+"""Convert reference PyTorch checkpoints (model.pth state_dicts) into the
+t2onet_tpu Actor param/batch_stats pytrees.
+
+Checkpoint-parity plumbing (SURVEY.md §7 hard parts): the reference names
+follow models/actor.py submodules — vis_encoder.* (actor_resnet),
+lang_encoder.* (nn.LSTM), decoder.* (nn.LSTM + linears + attention),
+executor.{op}_op.fc1/fc2 (per-op parameter heads), bn1 (actor-level
+BatchNorm1d). Weight-layout conversions:
+
+- torch Linear weight (out, in)     -> flax Dense kernel (in, out): T
+- torch Conv2d weight (O, I, kH, kW)-> flax Conv kernel (kH, kW, I, O)
+- torch LSTM weight_ih_l{k} (4H, in)-> w_ih (in, 4H): T; the two torch
+  biases sum into one effective bias (identical math)
+- per-op heads stack into (N_OPS, ...) in executor registration order
+  with fc2 padded to 24 outputs
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+# executor registration order (reference executors/executor.py:30)
+_EXEC_OP_ATTRS = [
+    "brightness_op", "contrast_op", "saturation_op", "color_op",
+    "inpaint_op", "tone_op", "sharpness_op", "white_op",
+]
+_PARAM_COUNTS = [1, 1, 1, 24, 1, 8, 1, 1]
+MAX_PARAM = 24
+
+
+def _t(x):
+    return np.ascontiguousarray(np.asarray(x, np.float32).T)
+
+
+def _conv(x):
+    # OIHW -> HWIO
+    return np.ascontiguousarray(np.asarray(x, np.float32).transpose(2, 3, 1, 0))
+
+
+def convert_state_dict(sd: Dict, n_layers: int = 2,
+                       blocks_per_stage: Tuple[int, ...] = (2, 2, 2, 2)
+                       ) -> Tuple[Dict, Dict]:
+    """torch state_dict (tensors or numpy) -> (params, batch_stats)."""
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v, np.float32) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    # ---- language encoder -------------------------------------------------
+    enc = {"embedding": sd["lang_encoder.embedding.weight"]}
+    for k in range(n_layers):
+        for suffix, tag in (("", "fwd"), ("_reverse", "bwd")):
+            enc[f"lstm_l{k}_{tag}"] = {
+                "w_ih": _t(sd[f"lang_encoder.rnn.weight_ih_l{k}{suffix}"]),
+                "w_hh": _t(sd[f"lang_encoder.rnn.weight_hh_l{k}{suffix}"]),
+                "b": (sd[f"lang_encoder.rnn.bias_ih_l{k}{suffix}"]
+                      + sd[f"lang_encoder.rnn.bias_hh_l{k}{suffix}"]),
+            }
+    params["lang_encoder"] = enc
+
+    # ---- decoder ----------------------------------------------------------
+    dec = {"embedding": sd["decoder.embedding.weight"]}
+    for k in range(n_layers):
+        dec[f"lstm_l{k}"] = {
+            "w_ih": _t(sd[f"decoder.rnn.weight_ih_l{k}"]),
+            "w_hh": _t(sd[f"decoder.rnn.weight_hh_l{k}"]),
+            "b": (sd[f"decoder.rnn.bias_ih_l{k}"]
+                  + sd[f"decoder.rnn.bias_hh_l{k}"]),
+        }
+    dec["vis_linear"] = {"kernel": _t(sd["decoder.vis_linear.weight"]),
+                         "bias": sd["decoder.vis_linear.bias"]}
+    dec["out_linear"] = {"kernel": _t(sd["decoder.out_linear.weight"]),
+                         "bias": sd["decoder.out_linear.bias"]}
+    if "decoder.attention.linear_out.weight" in sd:
+        dec["attn_out"] = {
+            "kernel": _t(sd["decoder.attention.linear_out.weight"]),
+            "bias": sd["decoder.attention.linear_out.bias"]}
+    params["decoder"] = dec
+
+    # ---- vision encoder (ResNet) -------------------------------------------
+    vis_p = {"Conv_0": {"kernel": _conv(sd["vis_encoder.conv1.weight"])},
+             "BatchNorm_0": {"scale": sd["vis_encoder.bn1.weight"],
+                             "bias": sd["vis_encoder.bn1.bias"]},
+             "Dense_0": {"kernel": _t(sd["vis_encoder.fc.weight"]),
+                         "bias": sd["vis_encoder.fc.bias"]}}
+    vis_s = {"BatchNorm_0": {"mean": sd["vis_encoder.bn1.running_mean"],
+                             "var": sd["vis_encoder.bn1.running_var"]}}
+    block = 0
+    for stage, n_blocks in enumerate(blocks_per_stage, start=1):
+        for i in range(n_blocks):
+            src = f"vis_encoder.layer{stage}.{i}"
+            bp = {
+                "Conv_0": {"kernel": _conv(sd[f"{src}.conv1.weight"])},
+                "BatchNorm_0": {"scale": sd[f"{src}.bn1.weight"],
+                                "bias": sd[f"{src}.bn1.bias"]},
+                "Conv_1": {"kernel": _conv(sd[f"{src}.conv2.weight"])},
+                "BatchNorm_1": {"scale": sd[f"{src}.bn2.weight"],
+                                "bias": sd[f"{src}.bn2.bias"]},
+            }
+            bs = {
+                "BatchNorm_0": {"mean": sd[f"{src}.bn1.running_mean"],
+                                "var": sd[f"{src}.bn1.running_var"]},
+                "BatchNorm_1": {"mean": sd[f"{src}.bn2.running_mean"],
+                                "var": sd[f"{src}.bn2.running_var"]},
+            }
+            if f"{src}.shortcut.0.weight" in sd:
+                bp["Conv_2"] = {"kernel": _conv(sd[f"{src}.shortcut.0.weight"])}
+                bp["BatchNorm_2"] = {"scale": sd[f"{src}.shortcut.1.weight"],
+                                     "bias": sd[f"{src}.shortcut.1.bias"]}
+                bs["BatchNorm_2"] = {
+                    "mean": sd[f"{src}.shortcut.1.running_mean"],
+                    "var": sd[f"{src}.shortcut.1.running_var"]}
+            vis_p[f"BasicBlock_{block}"] = bp
+            vis_s[f"BasicBlock_{block}"] = bs
+            block += 1
+    params["vis_encoder"] = vis_p
+    stats["vis_encoder"] = vis_s
+
+    # ---- actor-level BN1d ---------------------------------------------------
+    params["bn1"] = {"scale": sd["bn1.weight"], "bias": sd["bn1.bias"]}
+    stats["bn1"] = {"mean": sd["bn1.running_mean"],
+                    "var": sd["bn1.running_var"]}
+
+    # ---- per-op parameter heads ---------------------------------------------
+    ctx = sd["executor.brightness_op.fc1.weight"].shape[1]
+    fc_dim = sd["executor.brightness_op.fc1.weight"].shape[0]
+    w1 = np.zeros((len(_EXEC_OP_ATTRS), ctx, fc_dim), np.float32)
+    b1 = np.zeros((len(_EXEC_OP_ATTRS), fc_dim), np.float32)
+    w2 = np.zeros((len(_EXEC_OP_ATTRS), fc_dim, MAX_PARAM), np.float32)
+    b2 = np.zeros((len(_EXEC_OP_ATTRS), MAX_PARAM), np.float32)
+    for i, attr in enumerate(_EXEC_OP_ATTRS):
+        w1[i] = _t(sd[f"executor.{attr}.fc1.weight"])
+        b1[i] = sd[f"executor.{attr}.fc1.bias"]
+        k = sd[f"executor.{attr}.fc2.weight"].shape[0]
+        w2[i, :, :k] = _t(sd[f"executor.{attr}.fc2.weight"])
+        b2[i, :k] = sd[f"executor.{attr}.fc2.bias"]
+    params["heads"] = {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+
+    return params, stats
+
+
+def load_torch_checkpoint(path: str, n_layers: int = 2):
+    """Load model.pth (torch cpu) and convert."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_state_dict(sd, n_layers=n_layers)
