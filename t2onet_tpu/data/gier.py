@@ -147,14 +147,16 @@ class GIER:
 
     def resize_and_union_mask(self, mask_ids, name, size) -> np.ndarray:
         """(GIER.py:288-307): nearest-resize each RLE mask then union."""
-        import cv2
+        from t2onet_tpu import native
 
         h, w = size
         with open(os.path.join(self.mask_dir,
                                f"{name}_{name}_mask.json")) as f:
             rles = json.load(f)
-        masks = [cv2.resize(rle_decode(r), (w, h),
-                            interpolation=cv2.INTER_NEAREST) for r in rles]
+        # native C++ RLE decode + nearest resize when built (numpy/cv2
+        # fallback otherwise) — replaces pycocotools/cv2 wheels
+        masks = [native.resize_nearest(native.rle_decode(r), h, w)
+                 for r in rles]
         masks = np.asarray(masks, bool)[np.asarray(mask_ids, int)]
         return np.clip(masks.sum(0), 0, 1).astype(np.uint8)
 

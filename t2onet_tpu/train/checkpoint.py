@@ -66,6 +66,9 @@ class CheckpointManager:
                 best = os.path.join(self.ckpt_dir, "checkpoint_best")
                 self._ckptr.save(best, self._state_tree(state), force=True)
                 is_best = True
+        # StandardCheckpointer commits asynchronously; block so a process
+        # exiting right after save can't truncate the checkpoint
+        self._ckptr.wait_until_finished()
         self._save_stats()
         return is_best
 
