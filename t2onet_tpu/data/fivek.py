@@ -151,6 +151,9 @@ class FiveKAct(FiveK):
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
         rng = np.random.default_rng(seed)
+        return self._batches_impl(batch_size, steps, shuffle, rng)
+
+    def _batches_impl(self, batch_size, steps, shuffle, rng):
         idxs = np.arange(len(self))
         i = len(self)
         for _ in range(steps):
@@ -169,3 +172,39 @@ class FiveKAct(FiveK):
                 "gt_params": np.stack([it[4] for it in items]),
                 "req": [it[5] for it in items],
             }
+
+
+class FiveKActVisualize(FiveKAct):
+    """Inference-resolution variant without trajectory truncation
+    (reference FiveKdataset.py:138-200): short-side-600 images, the top
+    planner sequence kept whole (up to op_max_len), no per-step teacher
+    images."""
+
+    act_json_name = None          # default: {item:05d}.json
+
+    def get_act(self, item: int):
+        item_dir = os.path.join(self.act_dir, f"{self.phase}{item}")
+        name = self.act_json_name or f"{item:05d}.json"
+        with open(os.path.join(item_dir, name)) as f:
+            act = json.load(f)
+        op_seq, params, _ = parse_action_json(act, self.op_max_len,
+                                              truncate=False)
+        return op_seq, params
+
+    def __getitem__(self, item: int):
+        d = self.data[item]
+        input_img = load_infer_img_short_size_bounded(
+            os.path.join(self.img_dir, d["input"]), 600)
+        output_img = load_infer_img_short_size_bounded(
+            os.path.join(self.img_dir, d["output"]), 600)
+        ops, params = self.get_act(item)
+        return (input_img, output_img,
+                np.asarray(d["request_idx"], np.int64), ops, params,
+                d["request"])
+
+
+class FiveKActDVisualize(FiveKActVisualize):
+    """Discriminator-planner variant: reads seq2seqGAN-disc_ops.json
+    (reference FiveKdataset.py:203-265)."""
+
+    act_json_name = "seq2seqGAN-disc_ops.json"

@@ -239,6 +239,50 @@ class Actor(nn.Module):
         }
 
 
+    # ------------------------------------------------------------------
+    def rl_step(self, x, img_x, carry, op, rng, train: bool = False,
+                masks=None):
+        """Single RL step (reference actor.py:286-354 `forward`): decode one
+        op from the previous op + current image, sample under the hard op
+        mask, execute, and re-decode for the next context. Returns
+        (pred_img, op_logprob, entropy_penalty, context, next_context,
+        new_carry, pred_op)."""
+        b = x.shape[0]
+        enc_out, enc_hidden, enc_valid = jax.lax.stop_gradient(
+            self.lang_encoder(x))                   # no_grad (actor.py:299)
+        feat = self.vis_feat(img_x, train)
+        logprob, carry, _, context = self.decoder(op, carry, enc_out,
+                                                  enc_valid, feat)
+        entropy_penalty = get_entropy_penalty(logprob)
+        probs = jnp.exp(logprob) * (1.0 - self.explore_prob) + self.explore_prob
+        op_mask = jnp.broadcast_to(EPISODE_OP_MASK, (b, self.cfg.op_vocab_size))
+        probs = probs * op_mask
+        probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
+        pred_op = jax.random.categorical(rng, jnp.log(probs + 1e-30),
+                                         axis=-1).astype(jnp.int32)
+        step_mask = None
+        if masks is not None:
+            onehot_v = jax.nn.one_hot(pred_op, self.cfg.op_vocab_size,
+                                      dtype=img_x.dtype)
+            step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
+        per_op_params = self.heads(context)
+        pred_img, _ = bank.execute_bank(img_x, pred_op, per_op_params,
+                                        mask=step_mask)
+        # re-decode on the produced image for the next context (actor.py:350-352)
+        feat2 = self.vis_feat(pred_img, train)
+        _, _, _, next_context = self.decoder(pred_op, carry, enc_out,
+                                             enc_valid, feat2)
+        return (pred_img, logprob, entropy_penalty, context, next_context,
+                carry, pred_op)
+
+
+def get_entropy_penalty(logprobs):
+    """log(n_cls) - H(p) per sample (reference actor.py:356-364)."""
+    probs = jnp.exp(logprobs)
+    entropy = -(probs * logprobs).sum(axis=-1, keepdims=True)
+    return jnp.log(float(logprobs.shape[-1])) - entropy
+
+
 def select_end_images(imgs, ops, end_id: int = 2):
     """Pick each sample's image at its first <END> token, else the last step
     (reference train_seq2seqL1.py:79-84, test_seq2seqL1.py:62-67) —

@@ -23,7 +23,7 @@ OP_NAMES = list(O.OP_NAMES)
 
 
 def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
-              init_key):
+              init_key, op_masks=None):
     """One device call: fit all (beam, op, start) candidates.
 
     Returns (params (N,C,24), dists (N,C), outs (N,C,3,H,W)) as numpy,
@@ -37,9 +37,17 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
     imgs = jnp.asarray(I_buff)
     tgt = jnp.asarray(target)
+    masks = None
+    if op_masks:
+        h, w = I_buff.shape[-2:]
+        rows = []
+        for op in cand_ops:
+            rows.append(op_masks.get(int(op),
+                                     np.ones((1, h, w), np.float32)))
+        masks = jnp.asarray(np.stack(rows))
     params, dists = F.fit_op_params(imgs, tgt, onehot, init,
-                                    n_iters=n_iters, lr=lr)
-    outs = F.execute_candidates(imgs, onehot, params)
+                                    n_iters=n_iters, lr=lr, masks=masks)
+    outs = F.execute_candidates(imgs, onehot, params, masks)
     return (np.asarray(params), np.asarray(dists), np.asarray(outs), cand_ops)
 
 
@@ -57,6 +65,7 @@ def beam_search(
     lr: float = 0.05,
     replace: bool = False,
     seed: int = 0,
+    op_masks=None,
 ) -> Tuple[List[List[Tuple[str, list, float]]], List[List[np.ndarray]]]:
     """Plan an operation sequence for one (input, target) pair.
 
@@ -64,6 +73,10 @@ def beam_search(
     :param mode: 'plain' (reference beam_search.py), 'eps' (eps-greedy
         variant), 'fixed' (fixed-order variant: operations[i] at step i,
         beam 1).
+    :param op_masks: optional {executor_op_idx: (1, H, W) float mask} for
+        local (masked) ops — the GIER planner's mask conditioning (the
+        reference's gen_greedy_seqs_GIER intent; its own call is broken,
+        gen_greedy_seqs_GIER.py:71, README.md:78).
     :return: (actions, images) — actions[b] = [(op_name, params, dist), ...]
         per beam; images[b] = per-step edited images (1,3,H,W). Same
         contract as the reference (beam_search.py:262-264).
@@ -84,7 +97,8 @@ def beam_search(
         if not step_ops:
             break
         params, dists, outs, cand_ops = _fit_step(
-            I_buff, I_gt, step_ops, n_starts, n_iters, lr, init_key=seed + step)
+            I_buff, I_gt, step_ops, n_starts, n_iters, lr,
+            init_key=seed + step, op_masks=op_masks)
 
         all_candidates, I_tmp = [], []
         no_update, finish = True, False
@@ -125,11 +139,11 @@ def beam_search(
             break
 
     actions = [list(seq) for seq, _ in sequences]
-    images = _replay_images(I_0, actions)
+    images = _replay_images(I_0, actions, op_masks)
     return actions, images
 
 
-def _replay_images(I_0, actions):
+def _replay_images(I_0, actions, op_masks=None):
     """Recompute per-step images for each surviving beam (host->device,
     tiny). The reference keeps them alongside candidates; recomputing the
     <= beam*step survivors costs less than hauling every candidate image."""
@@ -140,7 +154,10 @@ def _replay_images(I_0, actions):
         for (name, p_list, _d) in seq:
             op = OP_NAMES.index(name)
             p = jnp.asarray(np.asarray(p_list, np.float32)[None])
-            cur = O.apply_op_by_index(cur, op, p)
+            mask = None
+            if op_masks and op in op_masks:
+                mask = jnp.asarray(op_masks[op])[None]
+            cur = O.apply_op_by_index(cur, op, p, mask=mask)
             imgs.append(np.asarray(cur))
         images.append(imgs)
     return images

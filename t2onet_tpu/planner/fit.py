@@ -66,8 +66,11 @@ def candidate_op_slots(op_slots: Sequence[int], n_starts: int) -> np.ndarray:
     return np.repeat(np.asarray(op_slots, np.int32), n_starts)
 
 
-def _apply_candidates(imgs, onehot, params):
-    """imgs (N,3,H,W), onehot (C,9), params (N,C,24) -> out (N,C,3,H,W)."""
+def _apply_candidates(imgs, onehot, params, masks=None):
+    """imgs (N,3,H,W), onehot (C,9), params (N,C,24) -> out (N,C,3,H,W).
+
+    masks: optional (C, 1, H, W) per-candidate edit masks (GIER local ops);
+    blended per the reference's Operator.execute (operators.py:129)."""
     n, _, h, w = imgs.shape
     c = onehot.shape[0]
     imgs_t = jnp.broadcast_to(imgs[:, None], (n, c, 3, h, w)).reshape(
@@ -75,14 +78,20 @@ def _apply_candidates(imgs, onehot, params):
     oh = jnp.broadcast_to(onehot[None], (n, c, onehot.shape[1])).reshape(
         n * c, -1)
     p = params.reshape(n * c, bank.MAX_PARAM)
-    out = bank.execute_onehot(imgs_t, oh, p)
+    m = None
+    if masks is not None:
+        m = jnp.broadcast_to(masks[None], (n, c, 1, h, w)).reshape(
+            n * c, 1, h, w)
+    out = bank.execute_onehot(imgs_t, oh, p, mask=m)
     return out.reshape(n, c, 3, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "lr"))
 def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
                   init_params: jax.Array, n_iters: int = 100,
-                  lr: float = 0.05) -> Tuple[jax.Array, jax.Array]:
+                  lr: float = 0.05,
+                  masks: jax.Array | None = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Fit params for every (image, candidate) pair at once.
 
     :param imgs: (N, 3, H, W) current beam images.
@@ -102,7 +111,7 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
     targets_b = jnp.broadcast_to(targets, imgs.shape)
 
     def per_candidate_dist(params):
-        out = _apply_candidates(imgs, onehot, params)       # (N,C,3,H,W)
+        out = _apply_candidates(imgs, onehot, params, masks)  # (N,C,3,H,W)
         return jnp.abs(out - targets_b[:, None]).mean(axis=(2, 3, 4))
 
     def loss_fn(params):
@@ -122,6 +131,6 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
     return params, dists
 
 
-def execute_candidates(imgs, onehot, params):
+def execute_candidates(imgs, onehot, params, masks=None):
     """Apply fitted candidate params: (N,C,3,H,W) edited images."""
-    return jax.jit(_apply_candidates)(imgs, onehot, params)
+    return jax.jit(_apply_candidates)(imgs, onehot, params, masks)

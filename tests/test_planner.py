@@ -90,3 +90,20 @@ def test_init_candidates_reference_inits():
     np.testing.assert_array_equal(init[2, :24], 1)        # color ones
     np.testing.assert_array_equal(init[4, :8], 1)         # tone ones
     assert np.abs(init[1]).sum() > 0                      # jittered start
+
+
+def test_beam_search_with_masks():
+    """GIER-style local editing: masked planning recovers a local edit."""
+    img = _img(6)
+    mask = np.zeros((1, 1, 24, 24), np.float32)
+    mask[:, :, :, :12] = 1.0
+    bright = O.apply_op_by_index(jnp.asarray(img), 0, jnp.asarray([[0.6]]),
+                                 mask=jnp.asarray(mask))
+    target = np.asarray(bright)
+    masked, _ = beam_search(img, target, beam_size=2, max_step=2, err=1e-3,
+                            n_starts=1, n_iters=100,
+                            op_masks={0: mask[0]})
+    unmasked, _ = beam_search(img, target, beam_size=2, max_step=2, err=1e-3,
+                              n_starts=1, n_iters=100)
+    assert masked[0][-1][2] < 5e-3                  # near-exact with the mask
+    assert masked[0][-1][2] <= unmasked[0][-1][2] + 1e-6
