@@ -1,0 +1,219 @@
+"""InceptionV3 pool3 feature extractor for FID, in flax.
+
+Capability spec: reference utils/FID/inception.py (torchvision InceptionV3
+wrapped to emit 2048-d pool3 activations, with bilinear resize to 299 and
+[-1,1] normalization; fid_score.py:138-156). Pretrained weights are not
+redistributable/downloadable in this environment, so this module provides:
+
+- the torchvision-compatible architecture in flax,
+- a converter from a torchvision `inception_v3` state_dict (the user
+  supplies the .pth), and
+- `make_features_fn(...)` producing the `features_fn` the ImageEvaluator
+  consumes.
+
+Naming matches torchvision so conversion is purely mechanical
+(`X.conv.weight` -> params[X]['conv']['kernel'], `X.bn.*` -> BatchNorm).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BasicConv2d(nn.Module):
+    out: int
+    kernel: Sequence[int]
+    stride: int = 1
+    padding: Sequence = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = (pad, pad)
+        x = nn.Conv(self.out, tuple(self.kernel),
+                    (self.stride, self.stride),
+                    padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+def _pool3x3s1(x):
+    ones = jnp.ones_like(x[..., :1])
+    s = nn.avg_pool(x, (3, 3), (1, 1), padding=[(1, 1), (1, 1)])
+    c = nn.avg_pool(ones, (3, 3), (1, 1), padding=[(1, 1), (1, 1)])
+    return s / c          # count_include_pad=False semantics
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1),
+                         name="branch_pool")(_pool3x3s1(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        bp = nn.max_pool(x, (3, 3), (2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_pool3x3s1(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        bp = nn.max_pool(x, (3, 3), (2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_pool3x3s1(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Features(nn.Module):
+    """Backbone up to the final 2048-d average pool (no fc/aux)."""
+
+    @nn.compact
+    def __call__(self, x_nchw):
+        x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        return x.mean(axis=(1, 2))          # (B, 2048) pool3
+
+
+def convert_torchvision_inception(sd: Dict) -> Dict:
+    """torchvision inception_v3 state_dict -> flax params/batch_stats.
+
+    Mechanical: 'A.B.conv.weight' -> params[A][B]['conv']['kernel'] (OIHW ->
+    HWIO); 'A.B.bn.{weight,bias}' -> BatchNorm scale/bias; running stats ->
+    batch_stats. fc / AuxLogits entries are ignored.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    for key, val in sd.items():
+        v = np.asarray(val.detach().cpu().numpy()
+                       if hasattr(val, "detach") else val, np.float32)
+        parts = key.split(".")
+        if parts[0] in ("fc", "AuxLogits"):
+            continue
+        mod_path, kind, name = parts[:-2], parts[-2], parts[-1]
+        if kind == "conv" and name == "weight":
+            put(params, mod_path + ["conv", "kernel"],
+                v.transpose(2, 3, 1, 0))
+        elif kind == "bn" and name == "weight":
+            put(params, mod_path + ["bn", "scale"], v)
+        elif kind == "bn" and name == "bias":
+            put(params, mod_path + ["bn", "bias"], v)
+        elif kind == "bn" and name == "running_mean":
+            put(stats, mod_path + ["bn", "mean"], v)
+        elif kind == "bn" and name == "running_var":
+            put(stats, mod_path + ["bn", "var"], v)
+    return {"params": params, "batch_stats": stats}
+
+
+def make_features_fn(variables, resize: bool = True,
+                     normalize: bool = True):
+    """Build the (N,3,H,W) in [0,1] -> (N, 2048) extractor the
+    ImageEvaluator consumes (reference fid_score.py:138-156 protocol:
+    bilinear resize to 299, scale to [-1, 1])."""
+    model = InceptionV3Features()
+
+    @jax.jit
+    def features(imgs):
+        x = imgs
+        if resize:
+            x = jax.image.resize(x, (x.shape[0], 3, 299, 299), "bilinear")
+        if normalize:
+            x = 2.0 * x - 1.0
+        return model.apply(variables, x)
+
+    return features
+
+
+def load_fid_inception(path: str):
+    """Load a torchvision inception_v3 .pth and return a features_fn."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return make_features_fn(convert_torchvision_inception(sd))

@@ -54,10 +54,13 @@ def mask_blend(out, img, mask=None):
 # ---------------------------------------------------------------------------
 
 def brightness(img, param):
-    """HSV value scale: v * (1 + p), clamp (reference: operators.py:277-283)."""
-    h, s, v = rgb_to_hsv(img)
-    v_out = jnp.clip(v * (1.0 + _s(param)), 0.0, 1.0)
-    return hsv_to_rgb(h, s, v_out)
+    """HSV value scale: v' = clip(v*(1+p)) (reference: operators.py:277-283),
+    computed in RGB space: rgb' = rgb * v'/v (exact — scaling V scales every
+    channel; verified vs the HSV round-trip to fp32 ulp). No transcendentals,
+    so the VPU does 3 multiplies instead of a full HSV round-trip."""
+    v = jnp.max(img, axis=1, keepdims=True)
+    k = jnp.clip(v * (1.0 + _s(param)), 0.0, 1.0) / (v + 1e-12)
+    return img * k
 
 
 def contrast(img, param):
@@ -69,10 +72,15 @@ def contrast(img, param):
 
 
 def saturation(img, param):
-    """HSV saturation scale: s * (1 + p), clamp (reference: operators.py:473-479)."""
-    h, s, v = rgb_to_hsv(img)
-    s_out = jnp.clip(s * (1.0 + _s(param)), 0.0, 1.0)
-    return hsv_to_rgb(h, s_out, v)
+    """HSV saturation scale: s' = clip(s*(1+p)) (reference:
+    operators.py:473-479), computed in RGB space: every channel is
+    c = v*(1 - s*x_c), so scaling s by r gives c' = v - r*(v - c) (exact;
+    verified vs the HSV round-trip to fp32 ulp)."""
+    v = jnp.max(img, axis=1, keepdims=True)
+    mn = jnp.min(img, axis=1, keepdims=True)
+    s = (v - mn) / (v + 1e-8)
+    ratio = jnp.clip(s * (1.0 + _s(param)), 0.0, 1.0) / (s + 1e-12)
+    return v - ratio * (v - img)
 
 
 def _piecewise_curve(img, curve):

@@ -67,17 +67,19 @@ def _hsv_to_rgb(h, s, v):
 
 
 def _brightness(img, p):
-    r, g, b = img[0], img[1], img[2]
-    h, s, v = _rgb_to_hsv(r, g, b)
-    v = jnp.clip(v * (1.0 + p[0]), 0.0, 1.0)
-    return jnp.stack(_hsv_to_rgb(h, s, v))
+    # RGB-domain exact form of the HSV value scale (see ops/operators.py)
+    v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
+    k = jnp.clip(v * (1.0 + p[0]), 0.0, 1.0) / (v + 1e-12)
+    return img * k[None]
 
 
 def _saturation(img, p):
-    r, g, b = img[0], img[1], img[2]
-    h, s, v = _rgb_to_hsv(r, g, b)
-    s = jnp.clip(s * (1.0 + p[0]), 0.0, 1.0)
-    return jnp.stack(_hsv_to_rgb(h, s, v))
+    # RGB-domain exact form of the HSV saturation scale (see ops/operators.py)
+    v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
+    mn = jnp.minimum(jnp.minimum(img[0], img[1]), img[2])
+    s = (v - mn) / (v + 1e-8)
+    ratio = jnp.clip(s * (1.0 + p[0]), 0.0, 1.0) / (s + 1e-12)
+    return v[None] - ratio[None] * (v[None] - img)
 
 
 def _contrast(img, p):

@@ -102,3 +102,57 @@ def test_html_and_visualize(tmp_path):
     idx = (tmp_path / "web" / "index.html").read_text()
     assert "brighten the photo" in idx
     assert (tmp_path / "web" / "images" / "00000_attn.png").exists()
+
+
+def test_inception_v3_shapes():
+    """Architecture smoke: random init, tiny input, 2048-d pool3 output, and
+    the torchvision-name converter round-trips the param tree structure."""
+    import jax
+    import jax.numpy as jnp
+    from t2onet_tpu.evals.inception import (
+        InceptionV3Features, convert_torchvision_inception, make_features_fn)
+
+    model = InceptionV3Features()
+    x = jnp.zeros((1, 3, 299, 299))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    assert feats.shape == (1, 2048)
+
+    # converter: synthesize a torchvision-style state_dict from our own tree
+    sd = {}
+
+    def walk(tree, stats, prefix):
+        for k, v in tree.items():
+            p = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                s = stats.get(k, {}) if isinstance(stats, dict) else {}
+                walk(v, s, p)
+            elif k == "kernel":
+                sd[prefix + ".weight"] = np.asarray(v).transpose(3, 2, 0, 1)
+            elif k == "scale":
+                sd[prefix + ".weight"] = np.asarray(v)
+            elif k == "bias":
+                sd[prefix + ".bias"] = np.asarray(v)
+
+    walk(variables["params"], variables["batch_stats"], "")
+
+    def walk_stats(tree, prefix):
+        for k, v in tree.items():
+            p = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk_stats(v, p)
+            elif k == "mean":
+                sd[prefix + ".running_mean"] = np.asarray(v)
+            elif k == "var":
+                sd[prefix + ".running_var"] = np.asarray(v)
+
+    walk_stats(variables["batch_stats"], "")
+    conv = convert_torchvision_inception(sd)
+    # structures must match exactly and numerics round-trip
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        variables["params"], conv["params"])
+    fn = make_features_fn(conv, resize=False, normalize=False)
+    out = fn(jnp.zeros((1, 3, 299, 299)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-4)
