@@ -85,14 +85,21 @@ def main(argv=None):
     epi_step = make_episode_step(actor, mesh=mesh, sample=True)
     eval_fn = make_eval_episode(actor)
 
+    from t2onet_tpu.data.loader import Prefetcher, device_put_batch
+    from t2onet_tpu.parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh) if mesh is not None else None
+
+    def stage(b):
+        return device_put_batch({k: v for k, v in b.items() if k != "req"},
+                                sh)
+
     rng = jax.random.PRNGKey(a.manual_seed + 1)
-    it = train_ds.batches(a.batch_size, a.num_iters, shuffle=True)
+    it = Prefetcher(train_ds.batches(a.batch_size, a.num_iters, shuffle=True),
+                    to_device=stage, depth=2)
     avg = {"op_loss": 0.0, "param_loss": 0.0, "L1_loss": 0.0}
     tik = time.time()
-    for itr, batch in enumerate(it, start=1):
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
-        if mesh is not None:
-            jb = shard_batch(jb, mesh)
+    for itr, jb in enumerate(it, start=1):
         if a.fs_only or itr % 2 == 1:       # supervised phase
             state, m = sup_step(state, {k: jb[k] for k in
                                         ("x", "y", "img_x", "img_y",

@@ -96,6 +96,9 @@ class SyntheticFiveK:
         self.op_max_len = op_max_len
         self.max_ops = max_ops_per_item
         self.vocab2id = vocab2id or synthetic_vocab()
+        # items are deterministic per index; cache them (op application is
+        # device-eager and pays tunnel RTT per call on remote backends)
+        self._cache = {}
 
     def __len__(self):
         return self.n
@@ -106,6 +109,8 @@ class SyntheticFiveK:
         return txt2idx(sent, self.vocab2id, self.req_max_len)[0]
 
     def make_item(self, idx: int):
+        if idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         img = _make_image(rng, self.img_size)
 
@@ -145,7 +150,9 @@ class SyntheticFiveK:
         for i in range(self.op_max_len):
             imgs[i] = step_imgs[min(i, n_ops - 1)]
         imgs[-1] = step_imgs[-1]                       # final gt
-        return img, imgs, req_idx, ops, params, request
+        item = (img, imgs, req_idx, ops, params, request)
+        self._cache[idx] = item
+        return item
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True):
         """Yield `steps` collated numpy batches."""

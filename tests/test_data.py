@@ -181,3 +181,34 @@ def test_gier_union_mask(gier_dir):
     m = g.resize_and_union_mask([0], "aaa", (16, 12))
     assert m.shape == (16, 12)
     assert set(np.unique(m)) <= {0, 1}
+
+
+def test_prefetcher(rng):
+    from t2onet_tpu.data.loader import Prefetcher
+
+    batches = [{"x": rng.normal(size=(2, 3)).astype(np.float32), "i": i}
+               for i in range(5)]
+    out = list(Prefetcher(iter(batches), depth=2))
+    assert [b["i"] for b in out] == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield batches[0]
+        raise ValueError("boom")
+
+    it = Prefetcher(boom())
+    next(it)
+    with pytest.raises(ValueError):
+        list(it)
+
+
+def test_bucketing():
+    from t2onet_tpu.evals.bucketing import bucket_shape, pad_to_bucket
+
+    assert bucket_shape(600, 899, 64) == (640, 960)
+    assert bucket_shape(600, 2000, 64, max_side=1024) == (640, 1024)
+    img = np.random.default_rng(0).uniform(0, 1, (3, 600, 899)).astype(np.float32)
+    padded, (h, w) = pad_to_bucket(img, 64)
+    assert padded.shape == (3, 640, 960) and (h, w) == (600, 899)
+    np.testing.assert_array_equal(padded[:, :600, :899], img)
+    # edge padding repeats the border
+    np.testing.assert_array_equal(padded[:, 600, :899], img[:, 599, :])
