@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--n_starts", type=int, default=2)
     p.add_argument("--n_iters", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--pair_batch", type=int, default=1,
+                   help=">1: lockstep-batch pairs into one device fit")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
 
@@ -47,9 +49,16 @@ def main(argv=None):
                 img_x, img_y, _, req = (ds[i][0], ds[i][1][-1], None, ds[i][5])
                 yield img_x[None], img_y[None], req
 
-    plan_dataset(pairs(), a.out_dir, phase=a.phase, limit=a.limit,
-                 beam_size=a.beam_size, err=a.err, mode=a.mode,
-                 n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr)
+    kw = dict(beam_size=a.beam_size, err=a.err, mode=a.mode,
+              n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr)
+    if a.pair_batch > 1:
+        from t2onet_tpu.planner.generate import plan_dataset_batched
+
+        plan_dataset_batched(pairs(), a.out_dir, phase=a.phase,
+                             pair_batch=a.pair_batch, limit=a.limit,
+                             start_index=a.start, **kw)
+    else:
+        plan_dataset(pairs(), a.out_dir, phase=a.phase, limit=a.limit, **kw)
 
 
 if __name__ == "__main__":

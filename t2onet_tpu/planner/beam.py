@@ -166,3 +166,119 @@ def _replay_images(I_0, actions, op_masks=None):
 def init_distance(I_0, I_gt) -> float:
     """L1 'init distance' recorded in planner JSONs (beam_search.py:331)."""
     return float(np.abs(np.asarray(I_0) - np.asarray(I_gt)).mean())
+
+
+def batch_beam_search(
+    I_0s: np.ndarray,
+    I_gts: np.ndarray,
+    beam_size: int = 3,
+    operations: Sequence[int] = F.DEFAULT_PLAN_OPS,
+    max_step: int = 6,
+    err: float = 1e-2,
+    mode: str = "plain",
+    eps: float = 0.05,
+    n_starts: int = 2,
+    n_iters: int = 100,
+    lr: float = 0.05,
+    replace: bool = False,
+    seed: int = 0,
+):
+    """Plan MANY pairs in lockstep: one device fit per step covers every
+    (pair x beam x op x restart) candidate simultaneously.
+
+    The reference's planner is embarrassingly parallel over pairs but runs
+    them one scipy fit at a time (SURVEY.md §3.3); here P pairs' fits fuse
+    into the same batched Adam run, so planner throughput scales with P
+    until the chip saturates.
+
+    :param I_0s, I_gts: (P, 3, H, W).
+    :return: list of per-pair (actions, images) like beam_search's.
+    """
+    rng = np.random.default_rng(seed)
+    if mode == "fixed":
+        beam_size = 1
+    p = I_0s.shape[0]
+    # per-pair host state
+    states = [{
+        "min_dist": float("inf"),
+        "sequences": [([], float("inf"))],
+        "done": False,
+    } for _ in range(p)]
+    I_buff = I_0s[:, None].copy()                 # (P, n_beam, 3, H, W)
+
+    for step in range(max_step):
+        if mode == "fixed":
+            step_ops = [operations[step]] if step < len(operations) else []
+        else:
+            step_ops = list(operations)
+        if not step_ops or all(s["done"] for s in states):
+            break
+        n_beam = I_buff.shape[1]
+        flat = I_buff.reshape(p * n_beam, *I_buff.shape[2:])
+        tgt = np.repeat(I_gts, n_beam, axis=0)
+        params, dists, outs, cand_ops = _fit_step(
+            flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step)
+        params = params.reshape(p, n_beam, *params.shape[1:])
+        dists = dists.reshape(p, n_beam, -1)
+        outs = outs.reshape(p, n_beam, *outs.shape[1:])
+
+        next_buff = []
+        for pi, st in enumerate(states):
+            if st["done"]:
+                next_buff.append(_pad_beams(I_buff[pi], beam_size))
+                continue
+            all_candidates, I_tmp = [], []
+            no_update, finish = True, False
+            tmp_min = []
+            for j in range(len(st["sequences"])):
+                used = ([] if replace else
+                        [OP_NAMES.index(a[0]) for a in st["sequences"][j][0]])
+                for op in step_ops:
+                    if op in used:
+                        continue
+                    cols = np.where(cand_ops == op)[0]
+                    best = cols[int(np.argmin(dists[pi, j, cols]))]
+                    dist = float(dists[pi, j, best])
+                    k = O.PARAM_COUNTS[op]
+                    accept = (dist < st["min_dist"]) if mode == "plain" else True
+                    if accept:
+                        tmp_min.append(dist)
+                        seq = st["sequences"][j][0] + [
+                            (OP_NAMES[op], params[pi, j, best, :k].tolist(),
+                             dist)]
+                        all_candidates.append((seq, dist))
+                        I_tmp.append(outs[pi, j, best])
+                        no_update = False
+                        if dist < err:
+                            finish = True
+            if tmp_min:
+                st["min_dist"] = min(st["min_dist"], min(tmp_min))
+            if len(all_candidates) < beam_size:
+                all_candidates += st["sequences"]
+                I_tmp += list(I_buff[pi, : len(st["sequences"])])
+            order = np.argsort([c[1] for c in all_candidates], kind="stable")
+            if mode == "eps" and rng.random() < eps:
+                order = rng.permutation(len(all_candidates))
+            keep = order[:beam_size]
+            st["sequences"] = [all_candidates[i] for i in keep]
+            buf = np.stack([I_tmp[i] for i in keep])
+            next_buff.append(_pad_beams(buf, beam_size))
+            if no_update or finish:
+                st["done"] = True
+        I_buff = np.stack(next_buff)
+
+    results = []
+    for pi, st in enumerate(states):
+        actions = [list(seq) for seq, _ in st["sequences"]]
+        results.append((actions, _replay_images(I_0s[pi:pi + 1], actions)))
+    return results
+
+
+def _pad_beams(buf: np.ndarray, beam_size: int) -> np.ndarray:
+    """Pad/trim the beam axis to a fixed size (repeat last row)."""
+    if buf.shape[0] == beam_size:
+        return buf
+    if buf.shape[0] > beam_size:
+        return buf[:beam_size]
+    reps = np.repeat(buf[-1:], beam_size - buf.shape[0], axis=0)
+    return np.concatenate([buf, reps], axis=0)

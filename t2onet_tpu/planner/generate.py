@@ -76,3 +76,54 @@ def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
             print(f"planned {n} pairs, avg {avg_time:.2f}s/pair", flush=True)
     print(f"done: {n} pairs, avg {avg_time:.2f}s/pair", flush=True)
     return n
+
+
+def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
+                         pair_batch: int = 8, limit: Optional[int] = None,
+                         start_index: int = 0, **plan_kwargs):
+    """Lockstep-batched planning: P pairs per device fit (see
+    planner.beam.batch_beam_search). Writes the same per-pair layout."""
+    from t2onet_tpu.planner.beam import batch_beam_search
+
+    os.makedirs(out_dir, exist_ok=True)
+    buf, metas = [], []
+    n, t_total = 0, time.time()
+
+    def flush():
+        nonlocal n
+        if not buf:
+            return
+        I0 = np.concatenate([b[0] for b in buf], axis=0)
+        Igt = np.concatenate([b[1] for b in buf], axis=0)
+        results = batch_beam_search(I0, Igt, **plan_kwargs)
+        for (actions, images), (idx, request, img_x, img_y) in zip(results,
+                                                                   metas):
+            item_dir = os.path.join(out_dir, f"{phase}{idx}")
+            os.makedirs(item_dir, exist_ok=True)
+            info = {
+                "request": request,
+                "init distance": init_distance(img_x, img_y),
+                "operation sequence": [[list(a) for a in seq]
+                                       for seq in actions],
+            }
+            with open(os.path.join(item_dir, f"{idx:05d}.json"), "w") as f:
+                json.dump(info, f)
+            for k, img in enumerate(images[0]):
+                save_img(np.asarray(img)[0],
+                         os.path.join(item_dir, f"edit{k}.jpg"))
+            n += 1
+        buf.clear()
+        metas.clear()
+        dt = time.time() - t_total
+        print(f"planned {n} pairs, {dt / max(n, 1):.2f}s/pair", flush=True)
+
+    for i, (img_x, img_y, request) in enumerate(pairs):
+        if limit is not None and i >= limit:
+            break
+        buf.append((np.asarray(img_x), np.asarray(img_y)))
+        metas.append((start_index + i, request, np.asarray(img_x),
+                      np.asarray(img_y)))
+        if len(buf) >= pair_batch:
+            flush()
+    flush()
+    return n

@@ -107,3 +107,30 @@ def test_beam_search_with_masks():
                               n_starts=1, n_iters=100)
     assert masked[0][-1][2] < 5e-3                  # near-exact with the mask
     assert masked[0][-1][2] <= unmasked[0][-1][2] + 1e-6
+
+
+def test_batch_beam_search_matches_single():
+    from t2onet_tpu.planner.beam import batch_beam_search
+
+    ops_true = [0, 1, 2, 6]
+    imgs, tgts = [], []
+    for i, op in enumerate(ops_true):
+        img = _img(10 + i)
+        t = O.apply_op_by_index(jnp.asarray(img), op, jnp.asarray([[0.5]]))
+        imgs.append(img[0])
+        tgts.append(np.asarray(t)[0])
+    I0 = np.stack(imgs)
+    Igt = np.stack(tgts)
+    results = batch_beam_search(I0, Igt, beam_size=2, max_step=2, err=1e-3,
+                                n_starts=1, n_iters=100, lr=0.05)
+    assert len(results) == 4
+    for i, (actions, images) in enumerate(results):
+        top = actions[0]
+        assert top[0][0] == O.OP_NAMES[ops_true[i]], (i, top)
+        assert top[0][2] < 0.01
+        # matches the single-pair planner's first op + dist
+        single, _ = beam_search(I0[i:i + 1], Igt[i:i + 1], beam_size=2,
+                                max_step=2, err=1e-3, n_starts=1,
+                                n_iters=100, lr=0.05)
+        assert single[0][0][0] == top[0][0]
+        assert abs(single[0][0][2] - top[0][2]) < 1e-4
