@@ -8,11 +8,9 @@ flat parser per entry point.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
-from typing import Optional, Tuple
 
 import numpy as np
 

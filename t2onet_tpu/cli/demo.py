@@ -21,7 +21,6 @@ from t2onet_tpu.cli import common
 from t2onet_tpu.data.text import txt2idx
 from t2onet_tpu.data.fivek import ACT2PN, load_infer_img_short_size_bounded
 from t2onet_tpu.evals.visualize import save_img
-from t2onet_tpu.models.actor import Actor
 from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import create_train_state, make_eval_episode
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
 
 from t2onet_tpu.cli import common
 from t2onet_tpu.planner.generate import plan_dataset

@@ -24,7 +24,6 @@ from t2onet_tpu.data.text import txt2idx
 from t2onet_tpu.evals.html import HTML
 from t2onet_tpu.evals.metrics import TEST_TXTS, ImageEvaluator
 from t2onet_tpu.evals.visualize import update_web_row
-from t2onet_tpu.models.actor import Actor, select_end_images
 from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import create_train_state, make_eval_episode
 

@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from t2onet_tpu.cli import common
-from t2onet_tpu.models.actor import Actor, select_end_images
-from t2onet_tpu.parallel.mesh import make_mesh, shard_batch
+from t2onet_tpu.parallel.mesh import make_mesh
 from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import (
     create_train_state,

@@ -20,7 +20,6 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from t2onet_tpu.cli import common

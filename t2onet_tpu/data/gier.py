@@ -15,21 +15,17 @@ from __future__ import annotations
 import json
 import os
 from functools import reduce
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from t2onet_tpu.data.rle import rle_decode
 from t2onet_tpu.data.text import parse_sent, load_vocab, START_ID, END_ID
 from t2onet_tpu.data.fivek import (
-    ACT2PN,
-    ACTIONS,
-    analyze_traj,
     load_train_img,
     load_infer_img_short_size_bounded,
     parse_action_json,
 )
-from t2onet_tpu.ops import bank
 
 _MODE_FILES = {
     "valid": "{phase}_Ids_L1Thr_0.06_sess_{s}.json",

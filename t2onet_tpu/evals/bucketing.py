@@ -14,7 +14,7 @@ padding out exactly.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

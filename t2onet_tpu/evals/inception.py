@@ -17,7 +17,7 @@ Naming matches torchvision so conversion is purely mechanical
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax

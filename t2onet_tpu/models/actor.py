@@ -30,10 +30,6 @@ from t2onet_tpu.config import ModelConfig, OperatorConfig
 from t2onet_tpu.models.decoder import DecoderStep
 from t2onet_tpu.models.encoder import RNNEncoder
 from t2onet_tpu.models.resnet import ResNet
-from t2onet_tpu.models.common import (
-    torch_linear_kernel_init,
-    torch_linear_bias_init_for,
-)
 from t2onet_tpu.ops import bank
 
 # Block NONE, START, inpaint_obj, color_bg during rollout

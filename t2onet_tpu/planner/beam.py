@@ -10,7 +10,7 @@ does tiny list bookkeeping over <= beam_size sequences.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,8 +20,7 @@ Data parallelism: steps are jitted with the batch sharded over the mesh's
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -1,7 +1,5 @@
 """Config + CLI arg-mapping tests (reference defaults must survive)."""
 
-import pytest
-
 from t2onet_tpu.config import Config, ModelConfig, OperatorConfig, TrainConfig
 from t2onet_tpu.cli import common
 

@@ -1,7 +1,6 @@
 """Data layer tests: tokenizer, RLE, FiveK action parsing, GIER index."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -3,9 +3,7 @@ recovers known op sequences on synthetic pairs."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
-from t2onet_tpu.ops import bank
 from t2onet_tpu.ops import operators as O
 from t2onet_tpu.planner import fit as F
 from t2onet_tpu.planner.beam import beam_search, init_distance

@@ -9,7 +9,6 @@ and the ResNet vision encoder (eval mode).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
