@@ -90,3 +90,39 @@ def test_supervised_losses_masking():
     # uniform logprobs: nll = log(11) averaged over included positions
     np.testing.assert_allclose(float(op_loss), np.log(ncls), rtol=1e-6)
     assert float(param_loss) == 0.0
+
+
+def test_supervised_step_deterministic(setup):
+    """Same seed + data -> bitwise-identical losses (the reference's only
+    determinism control is cudnn flags, fiveK_base_options.py:78-84; here
+    XLA gives it for free — pinned by this test)."""
+    actor, state, ds = setup
+    step = make_supervised_step(actor, donate=False)
+    batch = _to_jnp(next(ds.batches(batch_size=8, steps=1, shuffle=False)))
+    _, m1 = step(state, batch)
+    _, m2 = step(state, batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_train_supervisor_restarts(tmp_path):
+    import subprocess, sys, textwrap
+
+    marker = tmp_path / "count"
+    script = tmp_path / "flaky.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        p = {str(marker)!r}
+        n = int(open(p).read()) if os.path.exists(p) else 0
+        open(p, 'w').write(str(n + 1))
+        # crash twice, succeed third time; expect --resume on retries
+        if n < 2:
+            sys.exit(1)
+        assert '--resume' in sys.argv
+    """))
+    r = subprocess.run(
+        [sys.executable, "-m", "t2onet_tpu.cli.train_supervisor",
+         "--backoff", "0.05", "--max_restarts", "3", "--",
+         sys.executable, str(script)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert marker.read_text() == "3"
