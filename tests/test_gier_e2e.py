@@ -1,0 +1,94 @@
+"""GIER end-to-end on a synthetic on-disk fixture: planner acts ->
+GIERDatasetAct batches -> one supervised train step."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from t2onet_tpu.data.rle import rle_encode
+
+
+@pytest.fixture
+def gier_root(tmp_path, rng):
+    """A miniature GIER tree: images, masks, splits, vocab, planner acts."""
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "GIER"
+    for sub in ("images", "masks", "splits", "features"):
+        (d / sub).mkdir(parents=True)
+    vdir = tmp_path / "language"
+    vdir.mkdir()
+    act_dir = tmp_path / "acts"
+    act_dir.mkdir()
+
+    ann = []
+    for i in range(4):
+        did = f"pair{i}"
+        inp, out = f"{did}_a.jpg", f"{did}_b.jpg"
+        img = (rng.uniform(0, 255, (40, 40, 3))).astype(np.uint8)
+        img2 = np.clip(img * 1.2, 0, 255).astype(np.uint8)
+        cv2.imwrite(str(d / "images" / inp), img)
+        cv2.imwrite(str(d / "images" / out), img2)
+        mask = (rng.uniform(size=(40, 40)) > 0.5).astype(np.uint8)
+        with open(d / "masks" / f"{did}_{did}_mask.json", "w") as f:
+            json.dump([rle_encode(mask)], f)
+        ann.append({
+            "input": inp, "output": out,
+            "operator": {"brightness": {"ids": [], "local": False}},
+            "expert_summary": ["brighten the image"],
+            "amateur_summary": [],
+        })
+        # planner acts.json keyed by data id (GIERdataset.py:150-186)
+        (act_dir / did).mkdir()
+        with open(act_dir / did / "acts.json", "w") as f:
+            json.dump({
+                "request": ["brighten the image"],
+                "init distance": 0.1,
+                "operation sequence": [[("brightness", [0.2], 0.01)]],
+            }, f)
+    with open(d / "splits" / "train_sess_3.json", "w") as f:
+        json.dump(ann, f)
+    with open(d / "splits" / "train_global_sess_3.json", "w") as f:
+        json.dump(list(range(4)), f)
+    with open(vdir / "GIER_vocabs_sess_3.json", "w") as f:
+        json.dump({"<NONE>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3,
+                   "brighten": 4, "the": 5, "image": 6}, f)
+    with open(vdir / "GIER_operator_vocabs_sess_3.json", "w") as f:
+        json.dump({"<NONE>": 0, "<START>": 1, "<END>": 2, "brightness": 3,
+                   "contrast": 4, "saturation": 5, "hue": 6,
+                   "inpaint_obj": 7, "tint": 8, "sharpness": 9,
+                   "color_bg": 10}, f)
+    return str(d), str(vdir), str(act_dir)
+
+
+def test_gier_act_dataset_and_train_step(gier_root):
+    import jax
+    import jax.numpy as jnp
+
+    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.data.gier import GIERDatasetAct
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.train.loop import create_train_state, make_supervised_step
+
+    data_dir, vocab_dir, act_dir = gier_root
+    ds = GIERDatasetAct(data_dir, vocab_dir, act_dir, "train",
+                        data_mode="global", session=3, train_img_size=32)
+    assert len(ds) == 4
+    batch = next(ds.batches(4, 1, shuffle=False))
+    assert batch["img_x"].shape == (4, 3, 32, 32)
+    assert batch["img_y"].shape == (4, 9, 3, 32, 32)    # op_max_len 8 + gt
+    assert batch["y"].shape == (4, 10)
+    np.testing.assert_array_equal(batch["y"][0][:3], [1, 3, 2])
+    assert batch["gt_params"][0, 0, 0] == pytest.approx(0.2)
+
+    cfg = ModelConfig(encoder_max_len=batch["x"].shape[1], decoder_max_len=8,
+                      hidden_size=16)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=7)
+    state = create_train_state(actor, jax.random.PRNGKey(0),
+                               jnp.asarray(batch["x"]),
+                               jnp.asarray(batch["img_x"]))
+    step = make_supervised_step(actor, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
+    state2, m = step(state, jb)
+    assert np.isfinite(float(m["loss"]))
