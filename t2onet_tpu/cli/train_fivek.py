@@ -96,7 +96,11 @@ def main(argv=None):
     rng = jax.random.PRNGKey(a.manual_seed + 1)
     it = Prefetcher(train_ds.batches(a.batch_size, a.num_iters, shuffle=True),
                     to_device=stage, depth=2)
-    avg = {"op_loss": 0.0, "param_loss": 0.0, "L1_loss": 0.0}
+    # metric sums stay on device between prints — a float() per step would
+    # force a ~30ms tunnel round-trip per iteration
+    sums = {"op_loss": jnp.zeros(()), "param_loss": jnp.zeros(()),
+            "L1_loss": jnp.zeros(())}
+    counts = {k: 0 for k in sums}
     tik = time.time()
     for itr, jb in enumerate(it, start=1):
         if a.fs_only or itr % 2 == 1:       # supervised phase
@@ -109,16 +113,20 @@ def main(argv=None):
                 state, {"x": jb["x"], "img_x": jb["img_x"],
                         "gt_img": jb["img_y"][:, -1]}, sub)
         for k, v in m.items():
-            if k in avg:
-                avg[k] += (float(v) - avg[k]) * 2.0 / (itr + 1)
+            if k in sums:
+                sums[k] = sums[k] + v
+                counts[k] += 1
 
         if itr % a.print_every == 0:
+            avg = {k: float(sums[k]) / max(counts[k], 1) for k in sums}
+            sums = {k: jnp.zeros(()) for k in sums}
+            counts = {k: 0 for k in counts}
             dt = (time.time() - tik) / a.print_every
             tik = time.time()
             print(f"iter {itr:6d}/{a.num_iters} op {avg['op_loss']:.3f} "
                   f"param {avg['param_loss']:.3f} L1 {avg['L1_loss']:.3f} "
                   f"{dt * 1e3:.0f} ms/it", flush=True)
-            logger.log(itr, **{k: float(v) for k, v in m.items()})
+            logger.log(itr, **avg)
 
         if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
             val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
