@@ -35,6 +35,8 @@ def add_base_args(p: argparse.ArgumentParser):
     p.add_argument("--trial", type=int, default=1)
     p.add_argument("--session", type=int, default=1)
     p.add_argument("--action_id", type=int, default=1)
+    p.add_argument("--act_dir", default=None,
+                   help="planner actions dir (default output/actions_set_N)")
     p.add_argument("--data_dir", default="data",
                    help="root holding FiveK/, GIER/, language/")
     p.add_argument("--manual_seed", type=int, default=10)
@@ -124,7 +126,7 @@ def build_dataset_and_vocab(a, phase: str = "train"):
     if a.dataset == "GIER":
         from t2onet_tpu.data.gier import GIERDatasetAct
 
-        act_dir = f"output/GIER_actions_set_{a.action_id}"
+        act_dir = a.act_dir or f"output/GIER_actions_set_{a.action_id}"
         ds = GIERDatasetAct(
             os.path.join(a.data_dir, "GIER"), vocab_dir, act_dir, phase,
             data_mode=getattr(a, "data_mode", "global"),
@@ -135,7 +137,7 @@ def build_dataset_and_vocab(a, phase: str = "train"):
 
         img_dir = os.path.join(a.data_dir, "FiveK", "images")
         anno_dir = os.path.join(a.data_dir, "FiveK", "annotations")
-        act_dir = f"output/actions_set_{a.action_id}"
+        act_dir = a.act_dir or f"output/actions_set_{a.action_id}"
         ds = FiveKAct(img_dir, anno_dir, act_dir, phase, a.session,
                       a.img_size, op_max_len=a.decoder_max_len)
     glove_path = os.path.join(

@@ -37,15 +37,27 @@ def main(argv=None):
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
 
-    ds, vocab2id, _, _ = common.build_dataset_and_vocab(a, a.phase)
+    if a.synthetic:
+        ds, vocab2id, _, _ = common.build_dataset_and_vocab(a, a.phase)
 
-    def pairs():
-        for i in range(a.start, len(ds)):
-            if a.synthetic:
+        def pairs():
+            for i in range(a.start, len(ds)):
                 img, imgs, _, _, _, req = ds.make_item(i)
                 yield img[None], imgs[-1][None], req
-            else:
-                img_x, img_y, _, req = (ds[i][0], ds[i][1][-1], None, ds[i][5])
+    else:
+        # planning happens BEFORE actions exist: use the plain pair loader
+        # (the Act dataset would try to read the planner output)
+        import os
+
+        from t2onet_tpu.data.fivek import FiveK
+
+        ds = FiveK(os.path.join(a.data_dir, "FiveK", "images"),
+                   os.path.join(a.data_dir, "FiveK", "annotations"),
+                   a.phase, a.session, a.img_size)
+
+        def pairs():
+            for i in range(a.start, len(ds)):
+                img_x, img_y, _, req = ds[i]
                 yield img_x[None], img_y[None], req
 
     kw = dict(beam_size=a.beam_size, err=a.err, mode=a.mode,

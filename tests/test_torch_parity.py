@@ -256,3 +256,44 @@ def test_full_convert_runs_episode():
                       method=Actor.episode)
     assert np.isfinite(np.asarray(out["imgs"])).all()
     assert out["ops"].shape == (1, 3)
+
+
+def test_supervised_losses_match_torch_oracle():
+    """The masked static-shape losses must equal the reference's dynamic
+    computation exactly (train_seq2seqL1.py:52-61): NLLLoss over
+    y[:, 1:step] with step = batch-max valid length (NONE targets of
+    shorter sequences INCLUDED), MSE-sum over gt[:, :step-2] / nnz."""
+    from t2onet_tpu.train.loop import supervised_losses
+
+    rng = np.random.default_rng(0)
+    b, t, ncls = 4, 7, 11
+    logits = rng.normal(0, 1, (b, t - 1, ncls)).astype(np.float32)
+    logprobs = torch.log_softmax(torch.from_numpy(logits), -1)
+    y = np.array([[1, 3, 4, 5, 2, 0, 0],
+                  [1, 9, 2, 0, 0, 0, 0],
+                  [1, 4, 8, 2, 0, 0, 0],
+                  [1, 3, 2, 0, 0, 0, 0]], np.int64)
+    gt = np.zeros((b, t - 2, 24), np.float32)
+    gt[:, :2, 0] = rng.normal(0, 0.3, (b, 2))
+    pred = rng.normal(0, 0.3, (b, t - 2, 24)).astype(np.float32)
+    # zero predicted params where the reference's executor would emit zeros
+    # (identity slots past each sample's sequence)
+    for i, ln in enumerate([5, 3, 4, 3]):
+        pred[i, ln - 2:] = 0.0
+
+    step = int((y != 0).sum(1).max())
+    t_y = torch.from_numpy(y)
+    ref_op = torch.nn.NLLLoss()(
+        logprobs[:, : step - 1].reshape(-1, ncls),
+        t_y[:, 1:step].reshape(-1))
+    ref_param = (torch.nn.MSELoss(reduction="sum")(
+        torch.from_numpy(pred[:, : step - 2]),
+        torch.from_numpy(gt[:, : step - 2]))
+        / max(int((gt[:, : step - 2] != 0).sum()), 1))
+
+    op_loss, param_loss = supervised_losses(
+        jnp.asarray(logprobs.numpy()), jnp.asarray(pred), jnp.asarray(y),
+        jnp.asarray(gt))
+    np.testing.assert_allclose(float(op_loss), float(ref_op), rtol=1e-6)
+    np.testing.assert_allclose(float(param_loss), float(ref_param),
+                               rtol=1e-6)
