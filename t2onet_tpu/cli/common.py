@@ -133,13 +133,18 @@ def build_dataset_and_vocab(a, phase: str = "train"):
             is_load_mask=bool(getattr(a, "is_load_mask", 0)),
             session=a.session, train_img_size=a.img_size)
     else:
-        from t2onet_tpu.data.fivek import FiveKAct
+        from t2onet_tpu.data.fivek import FiveK, FiveKAct
 
         img_dir = os.path.join(a.data_dir, "FiveK", "images")
         anno_dir = os.path.join(a.data_dir, "FiveK", "annotations")
         act_dir = a.act_dir or f"output/actions_set_{a.action_id}"
-        ds = FiveKAct(img_dir, anno_dir, act_dir, phase, a.session,
-                      a.img_size, op_max_len=a.decoder_max_len)
+        if phase == "train":
+            # planner actions exist for the train split only (reference:
+            # val/test use the plain pair dataset, train_seq2seqL1.py:154-157)
+            ds = FiveKAct(img_dir, anno_dir, act_dir, phase, a.session,
+                          a.img_size, op_max_len=a.decoder_max_len)
+        else:
+            ds = FiveK(img_dir, anno_dir, phase, a.session, a.img_size)
     glove_path = os.path.join(
         vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
     w2v = load_embedding(glove_path) if os.path.exists(glove_path) else None

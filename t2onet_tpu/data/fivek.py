@@ -114,6 +114,28 @@ class FiveK:
         return (self._load(d["input"]), self._load(d["output"]),
                 np.asarray(d["request_idx"], np.int64), d["request"])
 
+    def batches(self, batch_size: int, steps: int, shuffle: bool = True,
+                seed: int = 0):
+        """Eval-shaped batches: img_y has a single step axis so consumers
+        can uniformly take img_y[:, -1] as ground truth."""
+        rng = np.random.default_rng(seed)
+        idxs = np.arange(len(self))
+        i = len(self)
+        for _ in range(steps):
+            if i + batch_size > len(self):
+                i = 0
+                if shuffle:
+                    rng.shuffle(idxs)
+            sel = idxs[i:i + batch_size]
+            i += batch_size
+            items = [self[int(j)] for j in sel]
+            yield {
+                "img_x": np.stack([it[0] for it in items]),
+                "img_y": np.stack([it[1] for it in items])[:, None],
+                "x": np.stack([it[2] for it in items]).astype(np.int32),
+                "req": [it[3] for it in items],
+            }
+
 
 class FiveKAct(FiveK):
     """Adds planner pseudo-gt actions (reference FiveKdataset.py:67-135)."""

@@ -142,10 +142,22 @@ class Actor(nn.Module):
         carry = self.decoder.init_carry(enc_hidden)
         n_dec = y.shape[1] - 1                      # decode positions 1..n_dec
 
+        # Teacher forcing fixes every step's input image upfront (img_x then
+        # img_y[:, i-2]) — so unlike the reference's per-step ResNet calls
+        # (actor.py:142, the dominant training cost per SURVEY §3.1), all
+        # n_dec visual encodings run as ONE batched forward. BatchNorm stats
+        # are computed over the (B * n_dec) batch instead of per step — a
+        # documented deviation (docs/PARITY.md).
+        b = img_x.shape[0]
+        step_imgs = jnp.concatenate(
+            [img_x[:, None], img_y[:, : n_dec - 1]], axis=1)  # (B, n_dec, ...)
+        flat = step_imgs.reshape((b * n_dec,) + step_imgs.shape[2:])
+        feats = self.vis_feat(flat, train).reshape(b, n_dec, -1)
+
         logprobs, params, imgs = [], [], []
         cur_img = img_x
         for i in range(1, n_dec + 1):
-            feat = self.vis_feat(cur_img, train)
+            feat = feats[:, i - 1]
             logprob, carry, _, context = self.decoder(
                 y[:, i - 1], carry, enc_out, enc_valid, feat)
             logprobs.append(logprob)
