@@ -44,8 +44,11 @@ def build_workload(batch=32, size=512, steps=5, seed=0):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from t2onet_tpu.ops.pallas_fused import fused_chain
+
+    import sys
 
     imgs, slots, params = build_workload()
     f = jax.jit(fused_chain)
@@ -53,6 +56,18 @@ def main():
     # warmup / compile (first Pallas compile through the tunnel is slow)
     out = f(imgs, slots, params)
     _ = np.asarray(out[0, 0, 0, :1])
+
+    # guard the headline number with an on-device parity check vs the
+    # differentiable jnp bank (report on stderr; stdout stays one JSON line)
+    from t2onet_tpu.ops import bank
+
+    ref = imgs[:2]
+    for k in range(slots.shape[1]):
+        vocab_ids = jnp.where(slots[:2, k] == 0, 0, slots[:2, k] + 2)
+        ref, _ = bank.execute_bank(ref, vocab_ids, params[:2, k])
+    err = float(jnp.abs(f(imgs[:2], slots[:2], params[:2]) - ref).max())
+    print(f"kernel-vs-bank max err: {err:.2e}", file=sys.stderr)
+    assert err < 1e-4, f"fused kernel diverged from the op bank: {err}"
 
     n_rep = 30
     t0 = time.perf_counter()
