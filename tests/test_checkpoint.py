@@ -1,0 +1,46 @@
+"""CheckpointManager: save / restore / best-tracking / resume-latest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from t2onet_tpu.config import ModelConfig, OperatorConfig
+from t2onet_tpu.models.actor import Actor
+from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.loop import create_train_state
+
+
+def _tiny_state():
+    cfg = ModelConfig(encoder_max_len=6, decoder_max_len=3, hidden_size=8)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=12)
+    x = jnp.ones((1, 6), jnp.int32)
+    img = jnp.zeros((1, 3, 32, 32))
+    return create_train_state(actor, jax.random.PRNGKey(0), x, img)
+
+
+def test_save_restore_best_and_latest(tmp_path):
+    state = _tiny_state()
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+
+    assert cm.save(state, 10, val_dist=0.5) is True          # first is best
+    bumped = state.replace(
+        step=jnp.asarray(20),
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params))
+    assert cm.save(bumped, 20, val_dist=0.9) is False        # worse val
+
+    best = cm.restore(state, "best")
+    latest = cm.restore(state, "latest")
+    assert int(best.step) == 0 and int(latest.step) == 20
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(best.params)[0]),
+        np.asarray(leaf))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(latest.params)[0]),
+        np.asarray(leaf) + 1.0)
+    assert cm.stats["best_iter"] == 10
+    assert cm.stats["best_val_dist"] == 0.5
+
+    # a fresh manager on the same dir reloads stats (resume path)
+    cm2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert cm2.stats["best_iter"] == 10
