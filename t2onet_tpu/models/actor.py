@@ -179,7 +179,8 @@ class Actor(nn.Module):
 
     # ------------------------------------------------------------------
     def episode(self, x, img_x, rng=None, sample: bool = False,
-                train: bool = False, masks=None):
+                train: bool = False, masks=None,
+                pallas_exec: bool = False):
         """Free-running rollout (reference actor.py:184-284).
 
         :param x: (B, L) request tokens.
@@ -187,6 +188,10 @@ class Actor(nn.Module):
         :param rng: PRNG key (required when sample=True).
         :param masks: optional (B, n_vocab, 1, H, W) per-op gt masks
             (GIER local editing); gathered by the predicted op.
+        :param pallas_exec: execute each step with the fused Pallas kernel
+            (only the selected branch computed) instead of the
+            differentiable one-hot bank — forward-only (no VJP), for
+            serving/eval throughput.
         :return: dict with
             imgs   (B, S, 3, H, W) image after each step
             ops    (B, S) chosen vocab op ids
@@ -229,8 +234,16 @@ class Actor(nn.Module):
                 step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
 
             per_op_params = self.heads(context)
-            img, chosen = bank.execute_bank(img, pred_op, per_op_params,
-                                            mask=step_mask)
+            if pallas_exec and step_mask is None:
+                from t2onet_tpu.ops.pallas_fused import (
+                    fused_chain, vocab_ops_to_slots)
+
+                chosen = bank.select_params(pred_op, per_op_params)
+                img = fused_chain(img, vocab_ops_to_slots(pred_op[:, None]),
+                                  chosen[:, None])
+            else:
+                img, chosen = bank.execute_bank(img, pred_op, per_op_params,
+                                                mask=step_mask)
             all_ops.append(pred_op)
             all_params.append(chosen)
             all_imgs.append(img)

@@ -180,7 +180,7 @@ def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps):
 
 
 def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool | None = None) -> jax.Array:
     """Apply per-image op chains.
 
     :param imgs: (B, 3, H, W) f32 in [0, 1].
@@ -190,6 +190,9 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
     """
     b, _, h, w = imgs.shape
     k = op_slots.shape[1]
+    if interpret is None:
+        # Mosaic only compiles for TPU; fall back to the interpreter on CPU
+        interpret = jax.default_backend() == "cpu"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # op_slots + params in SMEM

@@ -139,3 +139,15 @@ def test_encoder_masking():
     assert np.abs(np.asarray(out_l[:, 4:])).max() == 0.0
     np.testing.assert_allclose(np.asarray(h_l), np.asarray(h_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_s), atol=1e-6)
+
+
+def test_episode_pallas_exec_matches_bank(actor_and_vars):
+    """Serving path: fused-kernel execution must match the one-hot bank."""
+    actor, variables, x, img = actor_and_vars
+    o_bank = actor.apply(variables, x, img, method=Actor.episode)
+    o_pal = actor.apply(variables, x, img, pallas_exec=True,
+                        method=Actor.episode)
+    np.testing.assert_array_equal(np.asarray(o_bank["ops"]),
+                                  np.asarray(o_pal["ops"]))
+    np.testing.assert_allclose(np.asarray(o_bank["imgs"]),
+                               np.asarray(o_pal["imgs"]), atol=2e-5)
