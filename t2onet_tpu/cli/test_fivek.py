@@ -28,6 +28,43 @@ from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import create_train_state, make_eval_episode
 
 
+def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
+                    visualize: bool = False, quantum: int = 64) -> dict:
+    """Per-sample eval at native aspect ratio (reference protocol:
+    short-side-600 variable shapes, test_seq2seqL1.py bs=1 loop): each
+    image is edge-padded to a 64-px bucket for the jitted rollout (a
+    handful of compiles total), outputs cropped back, metrics computed on
+    the host at the true resolution."""
+    from t2onet_tpu.evals.bucketing import crop_valid, pad_to_bucket
+
+    eval_fn = make_eval_episode(actor)
+    evaluator = ImageEvaluator(host_metrics=True)
+    webpage = None
+    if visualize:
+        webpage = HTML(os.path.join(run_dir, "test", "web"),
+                       f"inference result trial {a.trial}")
+    for i in range(len(ds)):
+        img_x, img_y, req_idx, req = ds[i]
+        padded, valid_hw = pad_to_bucket(img_x, quantum)
+        x = jnp.asarray(req_idx.astype(np.int32))[None]
+        pred, out = eval_fn(state, {"x": x, "img_x": jnp.asarray(padded)[None]})
+        pred_c = np.asarray(crop_valid(pred, valid_hw))[0]
+        h, w = valid_hw
+        evaluator.update(img_x[None, :, :h, :w], pred_c[None],
+                         img_y[None, :, :h, :w])
+        if webpage is not None and i % 25 == 0:
+            update_web_row(webpage, i, req, img_x,
+                           np.asarray(crop_valid(out["imgs"][0], valid_hw)),
+                           np.asarray(out["ops"][0]),
+                           np.asarray(out["params"][0]), id2op,
+                           gt_img=img_y,
+                           attn=None if out["attn"] is None
+                           else np.asarray(out["attn"][0]))
+    if webpage is not None:
+        webpage.save()
+    return evaluator.eval()
+
+
 def test(actor, state, ds, a, id2op, visualize: bool = False,
          run_dir: str = "output/test") -> dict:
     eval_fn = make_eval_episode(actor)
@@ -103,8 +140,13 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint found — evaluating random init")
 
-    res = test(actor, state, ds, a, id2op, visualize=bool(a.visualize),
-               run_dir=run_dir)
+    if a.synthetic:
+        res = test(actor, state, ds, a, id2op, visualize=bool(a.visualize),
+                   run_dir=run_dir)
+    else:
+        # real data: variable native resolutions (short-side-600)
+        res = test_native_res(actor, state, ds, a, id2op, run_dir=run_dir,
+                              visualize=bool(a.visualize))
     if not a.skip_variance:
         res["variance"] = test_variance(actor, state, ds, a, vocab2id)
     print({k: round(float(v), 5) for k, v in res.items()})

@@ -74,6 +74,33 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     return ssim_map.mean(axis=(1, 2, 3))
 
 
+def ssim_np(img1: np.ndarray, img2: np.ndarray, window_size: int = 11
+            ) -> float:
+    """Host-side SSIM (scipy fftconvolve, zero-padded 'same') — identical
+    formula to :func:`ssim`; used for native-resolution eval where every
+    sample has a distinct shape (device SSIM would recompile per shape)."""
+    from scipy.signal import fftconvolve
+
+    w = _gaussian_window(window_size).astype(np.float64)
+
+    def conv(x):
+        return np.stack([
+            np.stack([fftconvolve(x[b, c], w, mode="same")
+                      for c in range(x.shape[1])])
+            for b in range(x.shape[0])])
+
+    img1 = np.asarray(img1, np.float64)
+    img2 = np.asarray(img2, np.float64)
+    mu1, mu2 = conv(img1), conv(img2)
+    s1 = conv(img1 * img1) - mu1 ** 2
+    s2 = conv(img2 * img2) - mu2 ** 2
+    s12 = conv(img1 * img2) - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+    return float(m.mean())
+
+
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6
                                ) -> float:
     """Frechet distance between gaussians (reference fid_score.py:159-230),
@@ -103,9 +130,10 @@ class ImageEvaluator:
     """
 
     def __init__(self, features_fn: Optional[Callable] = None,
-                 window_size: int = 11):
+                 window_size: int = 11, host_metrics: bool = False):
         self.features_fn = features_fn
         self.window_size = window_size
+        self.host_metrics = host_metrics    # native-res eval: no per-shape jit
         self.reset()
 
     def reset(self):
@@ -120,15 +148,24 @@ class ImageEvaluator:
 
     def update(self, inp, out, gt):
         """All args (1,3,H,W) in [0,1] (jnp or numpy)."""
-        inp, out, gt = map(jnp.asarray, (inp, out, gt))
         self.itr += 1
         r = 1.0 / self.itr
-        self.avg_in_L1 += (float(l1_distance(inp, gt)) - self.avg_in_L1) * r
-        self.avg_out_L1 += (float(l1_distance(out, gt)) - self.avg_out_L1) * r
-        self.avg_in_SSIM += (float(ssim(inp, gt, self.window_size))
-                             - self.avg_in_SSIM) * r
-        self.avg_out_SSIM += (float(ssim(out, gt, self.window_size))
-                              - self.avg_out_SSIM) * r
+        if self.host_metrics:
+            inp, out, gt = map(np.asarray, (inp, out, gt))
+            in_l1 = float(np.abs(inp - gt).mean())
+            out_l1 = float(np.abs(out - gt).mean())
+            in_ss = ssim_np(inp, gt, self.window_size)
+            out_ss = ssim_np(out, gt, self.window_size)
+        else:
+            inp, out, gt = map(jnp.asarray, (inp, out, gt))
+            in_l1 = float(l1_distance(inp, gt))
+            out_l1 = float(l1_distance(out, gt))
+            in_ss = float(ssim(inp, gt, self.window_size))
+            out_ss = float(ssim(out, gt, self.window_size))
+        self.avg_in_L1 += (in_l1 - self.avg_in_L1) * r
+        self.avg_out_L1 += (out_l1 - self.avg_out_L1) * r
+        self.avg_in_SSIM += (in_ss - self.avg_in_SSIM) * r
+        self.avg_out_SSIM += (out_ss - self.avg_out_SSIM) * r
         if self.features_fn is not None:
             self.arrs_in.append(np.asarray(self.features_fn(inp)))
             self.arrs_out.append(np.asarray(self.features_fn(out)))

@@ -156,3 +156,13 @@ def test_inception_v3_shapes():
     fn = make_features_fn(conv, resize=False, normalize=False)
     out = fn(jnp.zeros((1, 3, 299, 299)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-4)
+
+
+def test_ssim_np_matches_device(img_batch):
+    from t2onet_tpu.evals.metrics import ssim, ssim_np
+    import jax.numpy as jnp
+
+    other = np.clip(img_batch + 0.07, 0, 1)
+    a = float(ssim(jnp.asarray(img_batch), jnp.asarray(other)))
+    b = ssim_np(img_batch, other)
+    assert abs(a - b) < 1e-4
