@@ -21,41 +21,53 @@ from t2onet_tpu.ops import bank
 from t2onet_tpu.ops import operators as O
 from t2onet_tpu.data.text import START_ID, END_ID
 
-# op name -> (request templates, param sampler)
+# op name -> list of (request templates, param sampler). The template is
+# chosen TOGETHER with the parameter so the language actually encodes the
+# edit's direction and magnitude (like real editing requests do) — the
+# model can then learn params from text, not just op identity.
 _TEMPLATES = {
-    "brightness": (
-        ["increase the brightness", "brighten the image a lot",
-         "make the photo brighter", "darken the image",
-         "decrease the brightness"],
-        lambda rng: rng.uniform(0.2, 0.9) * rng.choice([-1.0, 1.0]),
-    ),
-    "contrast": (
-        ["improve contrast", "increase the contrast", "reduce contrast",
-         "add more contrast to the photo"],
-        lambda rng: rng.uniform(0.2, 0.8) * rng.choice([-1.0, 1.0]),
-    ),
-    "saturation": (
-        ["increase saturation", "enhance the color", "reduce saturation",
-         "make colors more vivid"],
-        lambda rng: rng.uniform(-0.2, 0.8),
-    ),
-    "sharpness": (
-        ["sharpen the image", "make it sharper", "increase sharpness"],
-        lambda rng: rng.uniform(0.3, 1.5),
-    ),
-    "tone": (
-        ["fix the tone", "adjust the tones", "improve the tone"],
-        lambda rng: rng.uniform(0.5, 2.0, size=8),
-    ),
-    "color": (
-        ["adjust the color balance", "fix the colors", "warm up the colors"],
-        lambda rng: rng.uniform(0.9, 1.1, size=24),
-    ),
+    "brightness": [
+        (["increase the brightness a lot", "brighten the image a lot"],
+         lambda rng: rng.uniform(0.55, 0.9)),
+        (["increase the brightness", "make the photo brighter"],
+         lambda rng: rng.uniform(0.2, 0.55)),
+        (["decrease the brightness", "darken the image"],
+         lambda rng: rng.uniform(-0.55, -0.2)),
+        (["darken the image a lot"], lambda rng: rng.uniform(-0.9, -0.55)),
+    ],
+    "contrast": [
+        (["improve contrast", "increase the contrast",
+          "add more contrast to the photo"],
+         lambda rng: rng.uniform(0.2, 0.8)),
+        (["reduce contrast", "decrease the contrast"],
+         lambda rng: rng.uniform(-0.8, -0.2)),
+    ],
+    "saturation": [
+        (["increase saturation", "enhance the color",
+          "make colors more vivid"],
+         lambda rng: rng.uniform(0.3, 0.8)),
+        (["reduce saturation", "mute the colors"],
+         lambda rng: rng.uniform(-0.2, -0.05)),
+    ],
+    "sharpness": [
+        (["sharpen the image a lot"], lambda rng: rng.uniform(0.9, 1.5)),
+        (["sharpen the image", "make it sharper", "increase sharpness"],
+         lambda rng: rng.uniform(0.3, 0.9)),
+    ],
+    "tone": [
+        (["fix the tone", "adjust the tones", "improve the tone"],
+         lambda rng: rng.uniform(0.5, 2.0, size=8)),
+    ],
+    "color": [
+        (["adjust the color balance", "fix the colors",
+          "warm up the colors"],
+         lambda rng: rng.uniform(0.9, 1.1, size=24)),
+    ],
 }
 
 _VOCAB = ["<NONE>", "<START>", "<END>", "<UNK>"] + sorted(
-    {w for temps, _ in _TEMPLATES.values() for t in temps for w in t.split()
-     if len(w) > 1}
+    {w for groups in _TEMPLATES.values() for temps, _ in groups
+     for t in temps for w in t.split() if len(w) > 1}
 )
 
 
@@ -119,7 +131,8 @@ class SyntheticFiveK:
         reqs, op_ids, params_rows, step_imgs = [], [], [], []
         cur = img[None]
         for name in names:
-            temps, sampler = _TEMPLATES[name]
+            temps, sampler = _TEMPLATES[name][
+                int(rng.integers(len(_TEMPLATES[name])))]
             reqs.append(str(rng.choice(temps)))
             p = np.atleast_1d(np.asarray(sampler(rng), np.float32))
             exec_idx = O.OP_NAMES.index(name)
