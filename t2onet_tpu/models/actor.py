@@ -35,8 +35,12 @@ from t2onet_tpu.ops import bank
 # Block NONE, START, inpaint_obj, color_bg during rollout
 # (reference: actor.py:211; vocab order <NONE> <START> <END> brightness
 #  contrast saturation hue inpaint_obj tint sharpness color_bg).
-EPISODE_OP_MASK = jnp.array(
-    [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0, 0.0], dtype=jnp.float32
+# numpy (not jnp) so importing this module never initializes a backend —
+# CLIs must still be able to select the CPU platform after import
+import numpy as _np  # noqa: E402
+
+EPISODE_OP_MASK = _np.array(
+    [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0, 0.0], dtype=_np.float32
 )
 
 
@@ -203,7 +207,8 @@ class Actor(nn.Module):
         enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
         carry = self.decoder.init_carry(enc_hidden)
 
-        op_mask = jnp.broadcast_to(EPISODE_OP_MASK, (b, self.cfg.op_vocab_size))
+        op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
+                                   (b, self.cfg.op_vocab_size))
         pred_op = jnp.full((b,), self.cfg.start_id, jnp.int32)
         img = img_x
 
@@ -276,7 +281,8 @@ class Actor(nn.Module):
                                                   enc_valid, feat)
         entropy_penalty = get_entropy_penalty(logprob)
         probs = jnp.exp(logprob) * (1.0 - self.explore_prob) + self.explore_prob
-        op_mask = jnp.broadcast_to(EPISODE_OP_MASK, (b, self.cfg.op_vocab_size))
+        op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
+                                   (b, self.cfg.op_vocab_size))
         probs = probs * op_mask
         probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
         pred_op = jax.random.categorical(rng, jnp.log(probs + 1e-30),
