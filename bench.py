@@ -70,12 +70,15 @@ def main():
     assert err < 1e-4, f"fused kernel diverged from the op bank: {err}"
 
     n_rep = 30
-    t0 = time.perf_counter()
-    out = imgs
-    for _ in range(n_rep):
-        out = f(out, slots, params)
-    _ = np.asarray(out[0, 0, 0, :1])        # one readback forces the chain
-    dt = (time.perf_counter() - t0) / n_rep
+    dts = []
+    for _trial in range(3):                 # best-of-3: resist host noise
+        t0 = time.perf_counter()
+        out = imgs
+        for _ in range(n_rep):
+            out = f(out, slots, params)
+        _ = np.asarray(out[0, 0, 0, :1])    # one readback forces the chain
+        dts.append((time.perf_counter() - t0) / n_rep)
+    dt = min(dts)
 
     batch, steps = imgs.shape[0], slots.shape[1]
     ops_per_sec = batch * steps / dt
