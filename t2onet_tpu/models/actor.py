@@ -239,13 +239,13 @@ class Actor(nn.Module):
                 step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
 
             per_op_params = self.heads(context)
-            if pallas_exec and step_mask is None:
+            if pallas_exec:
                 from t2onet_tpu.ops.pallas_fused import (
                     fused_chain, vocab_ops_to_slots)
 
                 chosen = bank.select_params(pred_op, per_op_params)
                 img = fused_chain(img, vocab_ops_to_slots(pred_op[:, None]),
-                                  chosen[:, None])
+                                  chosen[:, None], mask=step_mask)
             else:
                 img, chosen = bank.execute_bank(img, pred_op, per_op_params,
                                                 mask=step_mask)

@@ -135,22 +135,28 @@ def execute_onehot(img, onehot, params, mask=None, inpaint_fn=None):
     def p(i):
         return params[:, i] if per_op else params
 
-    # Per-branch clamp to [0,1] (the reference clamps inside each
-    # Operator.execute, operators.py:130). Clamping *before* the one-hot
-    # blend also keeps inf from an unselected branch (e.g. a near-zero
-    # curve_sum in color/tone) from poisoning the blend with NaN.
+    # The reference blends the RAW op output into the mask and clamps to
+    # [0,1] only after (operators.py:129-130) — with a fractional mask,
+    # pre-clipping an overshooting op (sharpness, contrast) would change
+    # the result. A wide finite guard (invisible inside [0,1] and to any
+    # realistic overshoot) keeps inf from an unselected branch (e.g. a
+    # near-zero curve_sum in color/tone) from poisoning the one-hot blend
+    # with NaN.
+    def g(x):
+        return jnp.clip(x, -1e4, 1e4)
+
     outs = [img]                                      # identity slot
-    outs.append(jnp.clip(O.brightness(img, p(0)), 0.0, 1.0))
-    outs.append(jnp.clip(O.contrast(img, p(1)), 0.0, 1.0))
-    outs.append(jnp.clip(O.saturation(img, p(2)), 0.0, 1.0))
-    outs.append(jnp.clip(O.color_curve(img, p(3)), 0.0, 1.0))
-    outs.append(jnp.clip(O.inpaint(img, p(4), inpaint_fn), 0.0, 1.0))
-    outs.append(jnp.clip(O.tone_curve(img, p(5)[:, :8]), 0.0, 1.0))
-    outs.append(jnp.clip(O.sharpness(img, p(6)), 0.0, 1.0))
+    outs.append(g(O.brightness(img, p(0))))
+    outs.append(g(O.contrast(img, p(1))))
+    outs.append(g(O.saturation(img, p(2))))
+    outs.append(g(O.color_curve(img, p(3))))
+    outs.append(g(O.inpaint(img, p(4), inpaint_fn)))
+    outs.append(g(O.tone_curve(img, p(5)[:, :8])))
+    outs.append(g(O.sharpness(img, p(6))))
     outs.append(O.white(img, p(7)))
     stacked = jnp.stack(outs, axis=1)                 # (B, 9, 3, H, W)
     blended = jnp.einsum("bk,bkchw->bchw", onehot, stacked)
-    out = O.mask_blend(blended, img, mask)
+    out = O.mask_blend(blended, img, mask)            # blend, THEN clamp
     # identity must stay exactly the input (reference returns img untouched
     # for op_ind < 0, executor.py:44-46) — skip the clamp for that slot.
     return jnp.where(onehot[:, 0:1, None, None] > 0.5, img, out)

@@ -179,13 +179,41 @@ def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps):
     out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
 
 
+def _masked_chain_kernel(ops_ref, params_ref, img_ref, mask_ref, out_ref, *,
+                         n_steps):
+    """Chain with per-step mask blending (reference operators.py:129-130:
+    out = clip(op(img)*mask + img*(1-mask))) — the GIER local-edit path,
+    mask resident in VMEM alongside the image for the whole chain."""
+    b = pl.program_id(0)
+    m = mask_ref[0, 0]                                # (H, W)
+
+    def step(k, img):
+        op = ops_ref[b, k]
+        p = [params_ref[b, k, j] for j in range(MAX_PARAM)]
+
+        def apply(branch):
+            return lambda im: branch(im, p)
+
+        out = jax.lax.switch(op, [apply(f) for f in _BRANCHES], img)
+        out = out * m[None] + img * (1.0 - m[None])
+        out = jnp.clip(out, 0.0, 1.0)
+        # identity slot must return the image untouched even where the
+        # clamp would bite (matches bank.execute_onehot's identity skip)
+        return jnp.where(op == 0, img, out)
+
+    out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
+
+
 def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
+                mask: jax.Array | None = None,
                 interpret: bool | None = None) -> jax.Array:
     """Apply per-image op chains.
 
     :param imgs: (B, 3, H, W) f32 in [0, 1].
     :param op_slots: (B, K) int32 slot ids (0 identity, 1..8 executor+1).
     :param params: (B, K, 24) f32.
+    :param mask: optional (B, 1, H, W) f32 in [0, 1] — each step's output is
+        blended into the unedited region (reference operators.py:129-130).
     :return: (B, 3, H, W) f32.
     """
     b, _, h, w = imgs.shape
@@ -194,17 +222,25 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
         # Mosaic only compiles for TPU; fall back to the interpreter on CPU
         interpret = jax.default_backend() == "cpu"
 
+    img_spec = pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [img_spec]
+    operands = [imgs]
+    if mask is None:
+        kernel = functools.partial(_chain_kernel, n_steps=k)
+    else:
+        kernel = functools.partial(_masked_chain_kernel, n_steps=k)
+        in_specs.append(pl.BlockSpec((1, 1, h, w), lambda i, *_: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask.astype(imgs.dtype))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # op_slots + params in SMEM
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_chain_kernel, n_steps=k)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -215,7 +251,7 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(op_slots.astype(jnp.int32), params.astype(jnp.float32), imgs)
+    )(op_slots.astype(jnp.int32), params.astype(jnp.float32), *operands)
 
 
 def vocab_ops_to_slots(op_vocab_ids: jax.Array) -> jax.Array:

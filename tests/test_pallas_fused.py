@@ -26,6 +26,39 @@ def test_fused_chain_matches_bank():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
 
 
+def test_fused_chain_masked_matches_bank():
+    imgs, ids, params = _workload(seed=2)
+    b, _, h, w = imgs.shape
+    rng = np.random.default_rng(3)
+    # fractional mask values exercise the reference's blend-THEN-clamp
+    # order (operators.py:129-130), which differs from pre-clipped
+    # blending wherever an op overshoots [0,1]
+    mask = rng.uniform(0, 1, (b, 1, h, w)).astype(np.float32)
+    mask[:, :, :4] = 0.0
+    mask = jnp.asarray(mask)
+    expect = imgs
+    for k in range(ids.shape[1]):
+        expect, _ = bank.execute_bank(expect, ids[:, k], params[:, k],
+                                      mask=mask)
+    out = fused_chain(imgs, vocab_ops_to_slots(ids), params, mask=mask,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+    # mask=0 region must stay the input
+    keep = np.asarray(mask)[:, 0] == 0.0
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 0][keep], np.asarray(imgs)[:, 0][keep], atol=1e-6)
+
+
+def test_fused_chain_masked_identity_tokens():
+    imgs, ids, params = _workload(seed=4)
+    b, _, h, w = imgs.shape
+    mask = jnp.ones((b, 1, h, w), jnp.float32) * 0.7
+    ids = jnp.zeros_like(ids)                       # all <NONE> -> identity
+    out = fused_chain(imgs, vocab_ops_to_slots(ids), params, mask=mask,
+                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+
 def test_fused_chain_identity_tokens():
     imgs, ids, params = _workload(seed=1)
     ids = jnp.zeros_like(ids)                       # all <NONE> -> identity
