@@ -1,0 +1,133 @@
+"""Batched serving engine (t2onet_tpu/serve.py): program truncation,
+bucket grouping, parity with the direct episode rollout, micro-batcher."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2onet_tpu.config import ModelConfig, OperatorConfig
+from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
+from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.serve import MicroBatcher, ServingEngine, program_slots
+
+
+@pytest.fixture(scope="module")
+def _parts():
+    vocab = synthetic_vocab()
+    cfg = ModelConfig(encoder_max_len=12, decoder_max_len=5)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=len(vocab))
+    ds = SyntheticFiveK(n=2, img_size=32, seed=0, req_max_len=12)
+    b = next(ds.batches(batch_size=2, steps=1, shuffle=False))
+    variables = actor.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(b["x"]), jnp.asarray(b["img_x"]))
+    return actor, variables, vocab
+
+
+@pytest.fixture(scope="module")
+def engine(_parts):
+    actor, variables, vocab = _parts
+    return ServingEngine(actor, variables, vocab, decode_size=32,
+                         quantum=32, max_batch=4, encoder_max_len=12,
+                         u8_wire=False)
+
+
+@pytest.fixture(scope="module")
+def engine_u8(_parts):
+    actor, variables, vocab = _parts
+    return ServingEngine(actor, variables, vocab, decode_size=32,
+                         quantum=32, max_batch=4, encoder_max_len=12,
+                         u8_wire=True)
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.1, 0.9, (3, h, w)).astype(np.float32)
+
+
+def test_program_slots_truncates_at_end():
+    ops = jnp.asarray([[3, 4, 2, 5, 6],      # END at step 2
+                       [3, 4, 5, 6, 9],      # no END
+                       [2, 3, 4, 5, 6]])     # END first
+    slots = np.asarray(program_slots(ops))
+    np.testing.assert_array_equal(slots[0], [1, 2, 0, 0, 0])
+    np.testing.assert_array_equal(slots[1], [1, 2, 3, 4, 7])
+    np.testing.assert_array_equal(slots[2], [0, 0, 0, 0, 0])
+
+
+def test_edit_batch_matches_direct_episode(engine):
+    """At native == decode resolution the engine must reproduce the
+    direct greedy rollout's END-selected image."""
+    imgs = [_img(32, 32, s) for s in range(3)]
+    reqs = ["increase the brightness", "improve contrast",
+            "increase saturation"]
+    results = engine.edit_batch(imgs, reqs)
+
+    x = np.stack([engine._tokenize(r) for r in reqs])
+    out = engine.actor.apply(
+        engine.variables, jnp.asarray(x), jnp.asarray(np.stack(imgs)),
+        sample=False, train=False, method=Actor.episode)
+    expect = select_end_images(out["imgs"], out["ops"])
+    for j, r in enumerate(results):
+        assert r.image.shape == (3, 32, 32)
+        np.testing.assert_allclose(r.image, np.asarray(expect[j]), atol=2e-5)
+        assert len(r.ops) == len(r.params)
+
+
+def test_u8_wire_close_to_f32(engine, engine_u8):
+    """uint8 pixel transport must stay within chained-quantization error
+    of the f32 path for a controlled mild program (brightness +0.2 then
+    contrast 0.3): input quantized to 1/255 before the chain, output
+    after it."""
+    img = _img(32, 32, 0)
+    slots = jnp.asarray([[1, 2]], jnp.int32)       # brightness, contrast
+    params = jnp.zeros((1, 2, 24), jnp.float32)
+    params = params.at[0, 0, 0].set(0.2).at[0, 1, 0].set(0.3)
+    f32 = np.asarray(engine._execute(jnp.asarray(img[None]), slots, params))
+    wire = jnp.asarray(np.round(img[None] * 255).astype(np.uint8))
+    u8 = np.asarray(engine_u8._execute(wire, slots, params))
+    u8 = u8.astype(np.float32) / 255.0
+    assert np.abs(f32 - u8).max() < 3.0 / 255.0
+    assert np.abs(f32 - u8).mean() < 1.0 / 255.0
+
+
+def test_u8_wire_engine_end_to_end(engine_u8):
+    results = engine_u8.edit_batch([_img(48, 32, 5)],
+                                   ["increase the brightness"])
+    r = results[0]
+    assert r.image.shape == (3, 48, 32)
+    assert r.image.dtype == np.float32
+    assert 0.0 <= r.image.min() and r.image.max() <= 1.0
+
+
+def test_mixed_shapes_bucket_and_crop(engine):
+    imgs = [_img(32, 32, 1), _img(40, 56, 2), _img(33, 64, 3)]
+    reqs = ["increase the brightness"] * 3
+    results = engine.edit_batch(imgs, reqs)
+    assert results[0].bucket == (32, 32)
+    assert results[1].bucket == (64, 64)
+    assert results[2].bucket == (64, 64)
+    for im, r in zip(imgs, results):
+        assert r.image.shape == im.shape      # cropped back to native
+        assert np.isfinite(r.image).all()
+
+
+def test_batch_larger_than_max_batch(engine):
+    n = engine.max_batch + 3
+    results = engine.edit_batch([_img(32, 32, s) for s in range(n)],
+                                ["sharpen the image"] * n)
+    assert len(results) == n
+    assert all(r is not None for r in results)
+
+
+def test_submit_flush_and_microbatcher(engine):
+    p1 = engine.submit(_img(32, 32, 7), "improve contrast")
+    p2 = engine.submit(_img(32, 32, 8), "increase saturation")
+    assert engine.queue_depth() == 2
+    batcher = MicroBatcher(engine, linger_ms=5).start()
+    try:
+        assert p1.done.wait(timeout=60) and p2.done.wait(timeout=60)
+    finally:
+        batcher.stop()
+    assert p1.result is not None and p2.result is not None
+    assert engine.queue_depth() == 0
