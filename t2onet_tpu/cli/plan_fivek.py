@@ -69,7 +69,8 @@ def main(argv=None):
                              pair_batch=a.pair_batch, limit=a.limit,
                              start_index=a.start, **kw)
     else:
-        plan_dataset(pairs(), a.out_dir, phase=a.phase, limit=a.limit, **kw)
+        plan_dataset(pairs(), a.out_dir, phase=a.phase, limit=a.limit,
+                     start_index=a.start, **kw)
 
 
 if __name__ == "__main__":

@@ -56,11 +56,12 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
 
 def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
                  limit: Optional[int] = None, log_every: int = 10,
-                 **plan_kwargs):
+                 start_index: int = 0, **plan_kwargs):
     """Plan over an iterable of (img_x (1,3,H,W), img_y, request) tuples.
 
     Embarrassingly parallel over pairs (per-pair JSON outputs) — multi-host
-    fleets split the index range.
+    fleets split the index range; `start_index` keeps the written item
+    indices global when `pairs` is a shard starting mid-dataset.
     """
     os.makedirs(out_dir, exist_ok=True)
     avg_time, n = 0.0, 0
@@ -68,8 +69,8 @@ def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
         if limit is not None and i >= limit:
             break
         tik = time.time()
-        plan_pair(np.asarray(img_x), np.asarray(img_y), request, out_dir, i,
-                  phase=phase, **plan_kwargs)
+        plan_pair(np.asarray(img_x), np.asarray(img_y), request, out_dir,
+                  start_index + i, phase=phase, **plan_kwargs)
         n += 1
         avg_time += (time.time() - tik - avg_time) / n
         if n % log_every == 0:
