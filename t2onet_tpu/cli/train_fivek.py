@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--fs_only", action="store_true",
                    help="ablation: purely supervised, no episode-L1 phase "
                         "(reference experiments/t2onet-L1/train_actor_fs.py)")
+    p.add_argument("--per_step_bn", action="store_true",
+                   help="reference-exact per-step BatchNorm statistics in "
+                        "the supervised phase (slower; default batches all "
+                        "decode steps into one vis-encoder forward)")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
@@ -80,7 +84,8 @@ def main(argv=None):
         print(f"resumed from iter {int(state.step)}")
 
     logger = common.ScalarLogger(run_dir)
-    sup_step = make_supervised_step(actor, mesh=mesh)
+    sup_step = make_supervised_step(actor, mesh=mesh,
+                                    per_step_bn=a.per_step_bn)
     epi_step = make_episode_step(actor, mesh=mesh, sample=True)
     eval_fn = make_eval_episode(actor)
 

@@ -130,7 +130,8 @@ class Actor(nn.Module):
 
     # ------------------------------------------------------------------
     def supervised(self, x, y, img_x, img_y, train: bool = True,
-                   with_images: bool = False, mask=None):
+                   with_images: bool = False, mask=None,
+                   per_step_bn: bool = False):
         """Teacher-forced pass (reference actor.py:116-181).
 
         :param x: (B, L) request tokens.
@@ -138,6 +139,11 @@ class Actor(nn.Module):
         :param img_x: (B, 3, H, W) input image.
         :param img_y: (B, T-1, 3, H, W) per-step teacher images
             (planner edits; last = gt).
+        :param per_step_bn: run one ResNet forward per decode step (the
+            reference's exact BatchNorm semantics: normalization statistics
+            over the (B,) step batch, running averages chained across the
+            n_dec sequential calls — actor.py:142). Default False batches
+            all steps into one forward; identical in eval mode.
         :return: (pred_imgs (B, T-2, 3, H, W) or None,
                   pred_params (B, T-2, 24),
                   op_logprobs (B, T-1, n_cls))
@@ -151,12 +157,17 @@ class Actor(nn.Module):
         # (actor.py:142, the dominant training cost per SURVEY §3.1), all
         # n_dec visual encodings run as ONE batched forward. BatchNorm stats
         # are computed over the (B * n_dec) batch instead of per step — a
-        # documented deviation (docs/PARITY.md).
+        # documented deviation (docs/PARITY.md), reverted by per_step_bn.
         b = img_x.shape[0]
         step_imgs = jnp.concatenate(
             [img_x[:, None], img_y[:, : n_dec - 1]], axis=1)  # (B, n_dec, ...)
-        flat = step_imgs.reshape((b * n_dec,) + step_imgs.shape[2:])
-        feats = self.vis_feat(flat, train).reshape(b, n_dec, -1)
+        if per_step_bn:
+            feats = jnp.stack(
+                [self.vis_feat(step_imgs[:, i], train) for i in range(n_dec)],
+                axis=1)
+        else:
+            flat = step_imgs.reshape((b * n_dec,) + step_imgs.shape[2:])
+            feats = self.vis_feat(flat, train).reshape(b, n_dec, -1)
 
         logprobs, params, imgs = [], [], []
         cur_img = img_x

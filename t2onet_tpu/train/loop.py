@@ -96,11 +96,14 @@ def episode_l1_loss(imgs, ops, gt_img, end_id: int = 2):
 # jitted steps
 # ---------------------------------------------------------------------------
 
-def make_supervised_step(actor: Actor, mesh=None, donate: bool = True):
+def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
+                         per_step_bn: bool = False):
     """Build the jitted supervised step.
 
     batch: dict(x (B,L) int32, y (B,T) int32, img_x (B,3,H,W),
                 img_y (B,T-1,3,H,W), gt_params (B,T-2,24))
+    per_step_bn: reference-exact per-step BatchNorm statistics
+    (see Actor.supervised).
     """
 
     def step_fn(state: TrainState, batch):
@@ -108,7 +111,8 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True):
             (pi, pred_params, logprobs), updates = actor.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["y"], batch["img_x"], batch["img_y"],
-                train=True, mutable=["batch_stats"],
+                train=True, per_step_bn=per_step_bn,
+                mutable=["batch_stats"],
                 method=Actor.supervised)
             op_loss, param_loss = supervised_losses(
                 logprobs, pred_params, batch["y"], batch["gt_params"])

@@ -103,6 +103,41 @@ def test_supervised_shapes_and_grads(actor_and_vars):
     assert float(jnp.abs(gh).sum()) > 0
 
 
+def test_supervised_per_step_bn(actor_and_vars):
+    """per_step_bn=True (reference-exact BN: stats over the (B,) step batch,
+    actor.py:142) must equal the batched default in eval mode (running
+    averages — no batch stats involved) and differ in train mode (different
+    normalization batches), with different running-average updates."""
+    actor, variables, x, img = actor_and_vars
+    y = jnp.array([[1, 3, 4, 2, 0, 0, 0],
+                   [1, 9, 2, 0, 0, 0, 0]], jnp.int32)
+    # distinct per-step teacher images so step batches have distinct stats
+    img_y = jnp.stack([jnp.clip(img * (0.6 + 0.1 * i), 0, 1)
+                       for i in range(T - 1)], axis=1)
+
+    _, p_eval_a, l_eval_a = actor.apply(
+        variables, x, y, img, img_y, train=False, method=Actor.supervised)
+    _, p_eval_b, l_eval_b = actor.apply(
+        variables, x, y, img, img_y, train=False, per_step_bn=True,
+        method=Actor.supervised)
+    np.testing.assert_allclose(np.asarray(l_eval_a), np.asarray(l_eval_b),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_eval_a), np.asarray(p_eval_b),
+                               atol=1e-6)
+
+    (_, _, l_tr_a), upd_a = actor.apply(
+        variables, x, y, img, img_y, train=True, mutable=["batch_stats"],
+        method=Actor.supervised)
+    (_, _, l_tr_b), upd_b = actor.apply(
+        variables, x, y, img, img_y, train=True, per_step_bn=True,
+        mutable=["batch_stats"], method=Actor.supervised)
+    assert float(jnp.abs(l_tr_a - l_tr_b).max()) > 1e-7
+    ra_a = jax.tree_util.tree_leaves(upd_a["batch_stats"])
+    ra_b = jax.tree_util.tree_leaves(upd_b["batch_stats"])
+    assert any(float(jnp.abs(a - b).max()) > 1e-7
+               for a, b in zip(ra_a, ra_b))
+
+
 def test_supervised_with_images(actor_and_vars):
     actor, variables, x, img = actor_and_vars
     y = jnp.array([[1, 3, 4, 2, 0, 0, 0],
