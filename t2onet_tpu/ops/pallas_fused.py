@@ -258,3 +258,40 @@ def vocab_ops_to_slots(op_vocab_ids: jax.Array) -> jax.Array:
     """Decoder vocab ids (B, K) -> kernel slot ids (identity for ids < 3)."""
     exec_idx = op_vocab_ids - 3
     return jnp.where(exec_idx < 0, 0, exec_idx + 1).astype(jnp.int32)
+
+
+def fused_chain_sharded(imgs: jax.Array, op_slots: jax.Array,
+                        params: jax.Array, mesh,
+                        mask: jax.Array | None = None,
+                        interpret: bool | None = None) -> jax.Array:
+    """Multi-chip fused_chain: batch sharded over the mesh's first axis,
+    one independent Pallas kernel per chip, no collectives (op chains are
+    per-image). Throughput scales linearly in chips; B must divide the
+    mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if imgs.shape[0] % n:
+        raise ValueError(f"batch {imgs.shape[0]} not divisible by "
+                         f"mesh size {n}")
+
+    if mask is None:
+        def local(i, s, p):
+            return fused_chain(i, s, p, interpret=interpret)
+
+        in_specs = (P(axis), P(axis), P(axis))
+        args = (imgs, op_slots, params)
+    else:
+        def local(i, s, p, m):
+            return fused_chain(i, s, p, mask=m, interpret=interpret)
+
+        in_specs = (P(axis), P(axis), P(axis), P(axis))
+        args = (imgs, op_slots, params, mask)
+
+    # check_vma=False: pallas_call's out ShapeDtypeStruct carries no
+    # varying-mesh-axis annotation; the kernel is trivially per-shard
+    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(axis), check_vma=False)
+    return f(*args)

@@ -91,12 +91,15 @@ class ServingEngine:
         at exactly this batch (smaller groups are padded).
     :param decode_native: decode at native bucket resolution instead of
         the probe (reference-exact; one decode compile per bucket).
+    :param mesh: optional jax.sharding.Mesh — micro-batches shard over its
+        first axis (multi-chip serving: decode and execute both scale over
+        ICI with no code changes; max_batch must divide by the mesh size).
     """
 
     def __init__(self, actor, variables, vocab2id, *, decode_size: int = 128,
                  quantum: int = 64, max_side: int = 1024, max_batch: int = 8,
                  decode_native: bool = False, encoder_max_len: int = 17,
-                 use_pallas: bool = True, u8_wire: bool = True):
+                 use_pallas: bool = True, u8_wire: bool = True, mesh=None):
         import jax
 
         self.actor = actor
@@ -116,9 +119,26 @@ class ServingEngine:
         # — the HTTP/PNG surface quantizes to 8 bits anyway. The decode
         # probe view stays f32 (it is tiny).
         self.u8_wire = u8_wire
+        self.mesh = mesh
 
-        self._decode_jit = jax.jit(self._decode)
-        self._execute_jit = jax.jit(self._execute)
+        if mesh is None:
+            self._decode_jit = jax.jit(self._decode)
+            self._execute_jit = jax.jit(self._execute)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by mesh size "
+                    f"{mesh.devices.size}")
+            bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            rep = NamedSharding(mesh, P())
+            self._decode_jit = jax.jit(
+                self._decode, in_shardings=(rep, bsh, bsh),
+                out_shardings=(bsh, bsh))
+            self._execute_jit = jax.jit(
+                self._execute, in_shardings=(bsh, bsh, bsh),
+                out_shardings=bsh)
         self._lock = threading.Lock()
         self._queue: List[_Pending] = []
         self.stats = {"requests": 0, "batches": 0, "launch_s": 0.0,
@@ -138,9 +158,15 @@ class ServingEngine:
         if self.u8_wire:
             imgs = imgs.astype(jnp.float32) / 255.0
         if self.use_pallas:
-            from t2onet_tpu.ops.pallas_fused import fused_chain
+            from t2onet_tpu.ops.pallas_fused import (fused_chain,
+                                                     fused_chain_sharded)
 
-            out = fused_chain(imgs, slots, params)
+            if self.mesh is not None:
+                # a Pallas call is a custom call GSPMD can't partition —
+                # shard_map runs one independent kernel per chip
+                out = fused_chain_sharded(imgs, slots, params, self.mesh)
+            else:
+                out = fused_chain(imgs, slots, params)
         else:
             from t2onet_tpu.ops import bank
 

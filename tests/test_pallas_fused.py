@@ -66,6 +66,30 @@ def test_fused_chain_identity_tokens():
     np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-6)
 
 
+def test_fused_chain_sharded_matches_single(rng=None):
+    import jax
+
+    from t2onet_tpu.parallel.mesh import make_mesh
+    from t2onet_tpu.ops.pallas_fused import fused_chain_sharded
+
+    imgs, ids, params = _workload(b=8, seed=5)
+    mesh = make_mesh(n_devices=8)
+    single = fused_chain(imgs, vocab_ops_to_slots(ids), params,
+                         interpret=True)
+    sharded = fused_chain_sharded(imgs, vocab_ops_to_slots(ids), params,
+                                  mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-6)
+    # masked variant shards too
+    b, _, h, w = imgs.shape
+    mask = jnp.ones((b, 1, h, w), jnp.float32) * 0.5
+    sm = fused_chain_sharded(imgs, vocab_ops_to_slots(ids), params, mesh,
+                             mask=mask, interpret=True)
+    s1 = fused_chain(imgs, vocab_ops_to_slots(ids), params, mask=mask,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(s1), atol=1e-6)
+
+
 def test_vocab_ops_to_slots():
     ids = jnp.asarray([[0, 1, 2, 3, 10]])
     slots = np.asarray(vocab_ops_to_slots(ids))

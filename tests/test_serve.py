@@ -120,6 +120,35 @@ def test_batch_larger_than_max_batch(engine):
     assert all(r is not None for r in results)
 
 
+def test_mesh_sharded_engine_matches_single(_parts, engine):
+    """Multi-chip serving on the virtual 8-device mesh must reproduce the
+    single-device engine exactly (pure data parallelism, no collectives)."""
+    from t2onet_tpu.parallel.mesh import make_mesh
+
+    actor, variables, vocab = _parts
+    mesh_engine = ServingEngine(actor, variables, vocab, decode_size=32,
+                                quantum=32, max_batch=8, encoder_max_len=12,
+                                u8_wire=False, mesh=make_mesh(n_devices=8))
+    imgs = [_img(32, 32, s) for s in range(5)]
+    reqs = ["increase the brightness", "improve contrast",
+            "increase saturation", "sharpen the image",
+            "fix the tone"]
+    r_single = engine.edit_batch(imgs, reqs)
+    r_mesh = mesh_engine.edit_batch(imgs, reqs)
+    for a, b in zip(r_single, r_mesh):
+        assert a.ops == b.ops
+        np.testing.assert_allclose(b.image, a.image, atol=2e-5)
+
+
+def test_mesh_engine_rejects_indivisible_batch(_parts):
+    from t2onet_tpu.parallel.mesh import make_mesh
+
+    actor, variables, vocab = _parts
+    with pytest.raises(ValueError):
+        ServingEngine(actor, variables, vocab, max_batch=6,
+                      mesh=make_mesh(n_devices=8))
+
+
 def test_submit_flush_and_microbatcher(engine):
     p1 = engine.submit(_img(32, 32, 7), "improve contrast")
     p2 = engine.submit(_img(32, 32, 8), "increase saturation")
