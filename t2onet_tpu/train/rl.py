@@ -1,0 +1,96 @@
+"""RL fine-tuning: REINFORCE over op choices + pathwise gradients for
+operator parameters.
+
+The reference ships the RL *machinery* — `Actor.forward` single RL step
+with entropy penalty (reference models/actor.py:286-364) and DDPG-era
+flags (target_tau/rmsize/warmup, fiveK_train_options.py:52-58) — but not
+the training loop itself (SURVEY.md §5.6: "whose training code is not in
+this repo"). This module completes that surface TPU-natively, built on
+the compiled episode rollout rather than a per-step host loop:
+
+- **Discrete ops** (which operator to apply): REINFORCE with a batch-mean
+  baseline. Reward is the negative end-image L1 to the ground truth; each
+  sample's advantage weights the sum of its chosen-op log-probs over the
+  steps up to and including its first <END>.
+- **Continuous parameters**: the pathwise gradient of the same L1 through
+  the differentiable operator chain (exactly the episode-L1 phase's
+  gradient) — this is the "learning by planning" framework's natural
+  estimator, no parameter noise needed.
+- **Entropy regularization**: the reference's `get_entropy_penalty`
+  (log n_cls − H(π), actor.py:356-364) scaled by `entropy_factor`
+  (default 0.05, fiveK_train_options.py).
+
+Note the sampled rollout draws ops from the explore-smoothed, hard-masked
+distribution (actor.py:223-236) while the REINFORCE term uses the model's
+own log-probs — the same off-policy simplification the reference's RL
+step makes (it returns the raw decoder logprob for the sampled op).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.train.loop import TrainState, _jit_step
+
+
+def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
+    """Compute (pathwise L1, REINFORCE, entropy) losses from an episode
+    rollout dict (imgs, ops, logprobs).
+
+    Returns (total_loss, metrics dict).
+    """
+    imgs, ops, logprobs = out["imgs"], out["ops"], out["logprobs"]
+    b, s = ops.shape
+
+    pred = select_end_images(imgs, ops, end_id)
+    per_sample_l1 = jnp.abs(pred - gt_img).mean(axis=(1, 2, 3))   # (B,)
+
+    # steps up to and including each sample's first <END> count
+    is_end = ops == end_id
+    after_end = jnp.cumsum(is_end, axis=1) - is_end.astype(jnp.int32) > 0
+    step_w = 1.0 - after_end.astype(logprobs.dtype)               # (B, S)
+
+    chosen_lp = jnp.take_along_axis(
+        logprobs, ops[..., None], axis=-1)[..., 0]                # (B, S)
+
+    reward = -per_sample_l1
+    baseline = jax.lax.stop_gradient(reward.mean())
+    adv = jax.lax.stop_gradient(reward - baseline)                # (B,)
+    pg_loss = -(adv[:, None] * chosen_lp * step_w).sum(axis=1).mean()
+
+    probs = jnp.exp(logprobs)
+    entropy = -(probs * logprobs).sum(axis=-1)                    # (B, S)
+    ent_penalty = (jnp.log(float(logprobs.shape[-1])) - entropy)  # >= 0
+    ent_loss = (ent_penalty * step_w).sum(axis=1).mean()
+
+    l1_loss = per_sample_l1.mean()
+    total = l1_loss + pg_loss + entropy_factor * ent_loss
+    return total, {"rl_l1": l1_loss, "rl_pg": pg_loss,
+                   "rl_entropy": ent_loss, "rl_reward": reward.mean()}
+
+
+def make_rl_step(actor: Actor, mesh=None, entropy_factor: float = 0.05,
+                 donate: bool = True):
+    """Build the jitted RL episode step.
+
+    batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W))
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        def loss_fn(params):
+            out, updates = actor.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"], batch["img_x"], rng=rng, sample=True,
+                train=True, mutable=["batch_stats"], method=Actor.episode)
+            total, metrics = rl_losses(out, batch["gt_img"],
+                                       entropy_factor=entropy_factor)
+            return total, (metrics, updates["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        return new_state, {"rl_loss": loss, **metrics}
+
+    return _jit_step(step_fn, mesh, donate, has_rng=True)
