@@ -2,10 +2,15 @@
 
 Spec: reference preprocess/gen_greedy_seqs_FiveK.py (beam 3, ops
 [0,1,2,3,5,6], err 1e-2, L1) — with the on-device vmapped fitter instead
-of scipy Nelder-Mead.
+of scipy Nelder-Mead. Candidate distances: 'l1' / 'l2' pixel distance
+(reference beam_search.py:170-180) or 'seq2seqGAN-disc' — a trained
+text-conditioned discriminator scores candidates (beam_search.py:190-193,
+226-236; the planner output FiveKActDVisualize consumes).
 
   python -m t2onet_tpu.cli.plan_fivek --synthetic --limit 8 \
       --out_dir output/actions_set_1 --phase train
+  python -m t2onet_tpu.cli.plan_fivek --synthetic --limit 8 \
+      --dist_type seq2seqGAN-disc --disc_run_dir output/FiveK_trial_1
 """
 
 from __future__ import annotations
@@ -15,6 +20,71 @@ import argparse
 
 from t2onet_tpu.cli import common
 from t2onet_tpu.planner.generate import plan_dataset
+
+DISC_DIST = "seq2seqgan-disc"
+
+
+def build_disc_distance(a, vocab2id, w2v):
+    """Load a train_gan run's actor + discriminator and build the planner's
+    learned-distance hooks: (score_fn, score_aux_fn).
+
+    The reference's equivalent is load_seq2seqgan_disc (beam_search.py:
+    52-63): restore the whole GAN model, score candidates with
+    1 - sigmoid(D(I_0, I_out | text)). The discriminator runs with
+    current-batch BN statistics, matching the reference's module left in
+    train mode.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from t2onet_tpu.cli.train_gan import DiscBundle
+    from t2onet_tpu.data.text import txt2idx
+    from t2onet_tpu.models.gan import make_disc_planner_score
+    from t2onet_tpu.train.checkpoint import (CheckpointManager,
+                                             PytreeCheckpointer)
+    from t2onet_tpu.train.loop import create_train_state
+
+    run_dir = a.disc_run_dir
+    if not run_dir:
+        raise SystemExit("--dist_type seq2seqGAN-disc needs --disc_run_dir "
+                         "(a cli.train_gan run directory)")
+
+    actor, _cfg = common.build_actor(a, len(vocab2id), w2v)
+    state = create_train_state(
+        actor, jax.random.PRNGKey(0),
+        jnp.zeros((1, a.encoder_max_len), jnp.int32),
+        jnp.zeros((1, 3, a.img_size, a.img_size)))
+    ckpt_dir = os.path.join(run_dir, "seq2seqGAN_model")
+    state = CheckpointManager(ckpt_dir).restore(state, which=a.which_ckpt)
+
+    bundle = DiscBundle(ndf=64, n_layers=a.n_layers_D, num_D=a.num_D)
+    img6 = jnp.zeros((1, 6, a.img_size, a.img_size))
+    hid0 = jnp.zeros((a.n_layers, 1, 2 * a.hidden_size))
+    d_params, d_bs = bundle.init(jax.random.PRNGKey(0), img6, hid0)
+    tree = PytreeCheckpointer(os.path.join(ckpt_dir, "disc")).restore(
+        {"d_params": d_params, "d_batch_stats": d_bs}, which=a.which_ckpt)
+    d_params, d_bs = tree["d_params"], tree["d_batch_stats"]
+
+    score_fn = make_disc_planner_score(
+        bundle.disc_apply(d_params, d_bs, train=True))
+
+    @jax.jit
+    def encode(x):
+        _, (h, _), _ = actor.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, method=lambda m, xx: m.lang_encoder(xx))
+        return h
+
+    def score_aux_fn(img_x, request):
+        x = txt2idx(request, vocab2id, a.encoder_max_len)[0].astype(np.int32)
+        h = encode(jnp.asarray(x)[None])
+        cond, _ = bundle.apply(d_params, d_bs, None, h, train=True)
+        return (jnp.asarray(np.asarray(img_x)), cond)
+
+    return score_fn, score_aux_fn
 
 
 def main(argv=None):
@@ -34,11 +104,19 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--pair_batch", type=int, default=1,
                    help=">1: lockstep-batch pairs into one device fit")
+    p.add_argument("--dist_type", default="l1",
+                   help="l1 / l2 (reference 'L1'/'L2') or seq2seqGAN-disc")
+    p.add_argument("--disc_run_dir", default=None,
+                   help="train_gan run dir (for --dist_type seq2seqGAN-disc)")
+    p.add_argument("--which_ckpt", default="best",
+                   help="best / latest / explicit checkpoint path")
+    p.add_argument("--num_D", type=int, default=2)
+    p.add_argument("--n_layers_D", type=int, default=3)
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
 
     if a.synthetic:
-        ds, vocab2id, _, _ = common.build_dataset_and_vocab(a, a.phase)
+        ds, vocab2id, _, w2v = common.build_dataset_and_vocab(a, a.phase)
 
         def pairs():
             for i in range(a.start, len(ds)):
@@ -50,10 +128,16 @@ def main(argv=None):
         import os
 
         from t2onet_tpu.data.fivek import FiveK
+        from t2onet_tpu.data.text import load_vocab, load_embedding
 
         ds = FiveK(os.path.join(a.data_dir, "FiveK", "images"),
                    os.path.join(a.data_dir, "FiveK", "annotations"),
                    a.phase, a.session, a.img_size)
+        vocab_dir = os.path.join(a.data_dir, "language")
+        vocab2id, _, _, _ = load_vocab(vocab_dir, a.dataset, a.session)
+        glove = os.path.join(
+            vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
+        w2v = load_embedding(glove) if os.path.exists(glove) else None
 
         def pairs():
             for i in range(a.start, len(ds)):
@@ -62,6 +146,15 @@ def main(argv=None):
 
     kw = dict(beam_size=a.beam_size, err=a.err, mode=a.mode,
               n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr)
+    score_aux_fn = None
+    if a.dist_type.lower() in (DISC_DIST, "disc"):
+        if a.pair_batch > 1:
+            raise SystemExit("--dist_type seq2seqGAN-disc plans pairs one "
+                             "at a time (drop --pair_batch)")
+        kw["score_fn"], score_aux_fn = build_disc_distance(a, vocab2id, w2v)
+    else:
+        kw["dist_type"] = a.dist_type
+
     if a.pair_batch > 1:
         from t2onet_tpu.planner.generate import plan_dataset_batched
 
@@ -70,7 +163,7 @@ def main(argv=None):
                              start_index=a.start, **kw)
     else:
         plan_dataset(pairs(), a.out_dir, phase=a.phase, limit=a.limit,
-                     start_index=a.start, **kw)
+                     start_index=a.start, score_aux_fn=score_aux_fn, **kw)
 
 
 if __name__ == "__main__":

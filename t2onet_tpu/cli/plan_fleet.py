@@ -86,6 +86,7 @@ def build_parser():
     p.add_argument("--n_iters", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--pair_batch", type=int, default=1)
+    p.add_argument("--dist_type", default="l1")
     return p
 
 
@@ -110,7 +111,7 @@ def worker_cmd(a, start: int, count: int):
            "--beam_size", str(a.beam_size), "--err", str(a.err),
            "--mode", a.mode, "--n_starts", str(a.n_starts),
            "--n_iters", str(a.n_iters), "--lr", str(a.lr),
-           "--pair_batch", str(a.pair_batch)]
+           "--pair_batch", str(a.pair_batch), "--dist_type", a.dist_type]
     if a.synthetic:
         cmd += ["--synthetic", "--synthetic_n", str(a.synthetic_n)]
     if a.worker_cpu:

@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--n_starts", type=int, default=2)
     p.add_argument("--n_iters", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--dist_type", default="l1",
+                   help="l1 / l2 pixel distance (reference 'L1'/'L2')")
     a = p.parse_args(argv)
     a.dataset = "GIER"
     if a.session == 1:
@@ -74,7 +76,7 @@ def main(argv=None):
             img_x, img_y, beam_size=a.beam_size, operations=ALL_OPS,
             max_step=len(ALL_OPS), err=a.err, mode=a.mode,
             n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr,
-            seed=pair_id, op_masks=op_masks or None)
+            seed=pair_id, op_masks=op_masks or None, dist_type=a.dist_type)
 
         data_id = gier.op_data[pair_id]["input"].split("_")[0]
         item_dir = os.path.join(out_dir, data_id)

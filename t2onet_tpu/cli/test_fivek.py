@@ -121,6 +121,10 @@ def main(argv=None):
     common.add_base_args(p)
     p.add_argument("--visualize", type=int, default=0)
     p.add_argument("--checkpoint", default="best")
+    p.add_argument("--ckpt_name", default="seq2seqL1_model",
+                   help="checkpoint subdir: seq2seqL1_model, or "
+                        "seq2seqGAN_model to evaluate a train_gan actor "
+                        "(reference test_seq2seqGAN.py role)")
     p.add_argument("--skip_variance", action="store_true")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
@@ -132,7 +136,7 @@ def main(argv=None):
     state = create_train_state(
         actor, jax.random.PRNGKey(a.manual_seed),
         jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]))
-    ckpt_dir = os.path.join(run_dir, "seq2seqL1_model")
+    ckpt_dir = os.path.join(run_dir, a.ckpt_name)
     if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")) or \
             a.checkpoint not in ("best", "latest"):
         state = CheckpointManager(ckpt_dir).restore(state, a.checkpoint)

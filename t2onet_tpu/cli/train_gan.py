@@ -29,7 +29,7 @@ from t2onet_tpu.models.gan import (
     MultiscaleDiscriminator,
     Seq2SeqGANLosses,
 )
-from t2onet_tpu.train.checkpoint import CheckpointManager
+from t2onet_tpu.train.checkpoint import CheckpointManager, PytreeCheckpointer
 from t2onet_tpu.train.loop import (
     create_train_state,
     make_eval_episode,
@@ -184,6 +184,10 @@ def main(argv=None):
         return state, gan, metrics
 
     ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"))
+    # the discriminator rides along (the planner's 'seq2seqGAN-disc'
+    # distance restores it — cli/plan_fivek.py --dist_type seq2seqGAN-disc)
+    d_ckpt = PytreeCheckpointer(os.path.join(run_dir, "seq2seqGAN_model",
+                                             "disc"))
     logger = common.ScalarLogger(run_dir)
     rng = jax.random.PRNGKey(a.manual_seed + 1)
     tik = time.time()
@@ -212,7 +216,10 @@ def main(argv=None):
         if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
             val = evaluate(actor, state, val_ds, min(a.batch_size, 16), 4,
                            eval_fn)
-            ckpt.save(state, itr, val)
+            is_best = ckpt.save(state, itr, val)
+            d_ckpt.save({"d_params": gan.d_params,
+                         "d_batch_stats": gan.d_batch_stats},
+                        itr, best=is_best)
         if itr >= a.num_iters:
             break
     print("GAN training done")

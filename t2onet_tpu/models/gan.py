@@ -214,3 +214,48 @@ def disc_score(disc_apply, img1, img2, cond) -> jax.Array:
     preds = disc_apply(jnp.concatenate([img1, img2], axis=1), cond)
     score = jnp.mean(jnp.stack([p[-1].mean() for p in preds]))
     return 1.0 - jax.nn.sigmoid(score)
+
+
+def disc_dists(disc_apply, img1, img2, cond) -> jax.Array:
+    """Per-sample disc_score: (B,) of 1 - sigmoid(mean patch logit),
+    batched for the planner's candidate ranking."""
+    preds = disc_apply(jnp.concatenate([img1, img2], axis=1), cond)
+    per = [p[-1].mean(axis=tuple(range(1, p[-1].ndim))) for p in preds]
+    return 1.0 - jax.nn.sigmoid(jnp.stack(per).mean(axis=0))
+
+
+def make_disc_planner_score(disc_apply):
+    """Build the planner score_fn for dist_type 'seq2seqGAN-disc'
+    (planner.fit.fit_op_params_scored): candidates are scored by how real
+    the (source, edited) pair looks to a trained text-conditioned
+    discriminator, not by pixel distance to a target (reference
+    beam_search.py:226-236).
+
+    Call this ONCE per planning run and reuse the returned function — it
+    is a static jit argument downstream.
+
+    :param disc_apply: (x6 (B,6,H,W), cond (B,512)) -> multiscale preds;
+        bind the discriminator variables before passing (e.g.
+        DiscBundle.disc_apply(params, batch_stats, train=False)).
+    :return: score_fn(outs (N,C,3,H,W), (I0 (N,3,H,W), cond (N,512)))
+        -> (N, C) distances in [0, 1].
+
+    Deliberate deviation: the reference fits each candidate's params by
+    editing the ORIGINAL image I_0 but then applies them to the current
+    beam image (beam_search.py:224-230) — the fitted objective and the
+    applied edit disagree after step 0. Here the fit optimizes the score
+    of the image the edit is actually applied to.
+    """
+    def score_fn(outs, aux):
+        i0, cond = aux
+        n, c = outs.shape[:2]
+        h, w = outs.shape[-2:]
+        i0_b = jnp.broadcast_to(i0[:, None], (n, c, 3, h, w))
+        cond_b = jnp.broadcast_to(cond[:, None], (n, c, cond.shape[-1]))
+        d = disc_dists(disc_apply,
+                       i0_b.reshape(n * c, 3, h, w),
+                       outs.reshape(n * c, 3, h, w),
+                       cond_b.reshape(n * c, -1))
+        return d.reshape(n, c)
+
+    return score_fn

@@ -23,7 +23,8 @@ OP_NAMES = list(O.OP_NAMES)
 
 
 def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
-              init_key, op_masks=None):
+              init_key, op_masks=None, dist_type="l1", score_fn=None,
+              score_aux=None):
     """One device call: fit all (beam, op, start) candidates.
 
     Returns (params (N,C,24), dists (N,C), outs (N,C,3,H,W)) as numpy,
@@ -36,7 +37,6 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     onehot = jnp.asarray(np.stack(onehot_rows))
     init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
     imgs = jnp.asarray(I_buff)
-    tgt = jnp.asarray(target)
     masks = None
     if op_masks:
         h, w = I_buff.shape[-2:]
@@ -45,10 +45,29 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
             rows.append(op_masks.get(int(op),
                                      np.ones((1, h, w), np.float32)))
         masks = jnp.asarray(np.stack(rows))
-    params, dists = F.fit_op_params(imgs, tgt, onehot, init,
-                                    n_iters=n_iters, lr=lr, masks=masks)
+    if score_fn is not None:
+        params, dists = F.fit_op_params_scored(
+            imgs, onehot, init, score_fn, score_aux,
+            n_iters=n_iters, lr=lr, masks=masks)
+    else:
+        params, dists = F.fit_op_params(
+            imgs, jnp.asarray(target), onehot, init,
+            n_iters=n_iters, lr=lr, masks=masks, dist=dist_type)
     outs = F.execute_candidates(imgs, onehot, params, masks)
     return (np.asarray(params), np.asarray(dists), np.asarray(outs), cand_ops)
+
+
+def normalize_dist_type(dist_type: str) -> str:
+    """Reference spellings ('L1'/'L2', beam_search.py:207) -> ours."""
+    d = dist_type.lower()
+    if d not in ("l1", "l2"):
+        raise ValueError(
+            f"dist_type {dist_type!r} invalid — 'l1'/'l2' here; learned "
+            "distances ('seq2seqGAN-disc') go through score_fn (the "
+            "reference's 'perceptual' is an unimplemented stub and "
+            "'self-disc' references an undefined class, "
+            "beam_search.py:41,176-177)")
+    return d
 
 
 def beam_search(
@@ -66,6 +85,9 @@ def beam_search(
     replace: bool = False,
     seed: int = 0,
     op_masks=None,
+    dist_type: str = "l1",
+    score_fn=None,
+    score_aux=None,
 ) -> Tuple[List[List[Tuple[str, list, float]]], List[List[np.ndarray]]]:
     """Plan an operation sequence for one (input, target) pair.
 
@@ -77,11 +99,18 @@ def beam_search(
         local (masked) ops — the GIER planner's mask conditioning (the
         reference's gen_greedy_seqs_GIER intent; its own call is broken,
         gen_greedy_seqs_GIER.py:71, README.md:78).
+    :param dist_type: 'l1' or 'l2' pixel distance (reference
+        beam_search.py:170-180; accepts the reference's 'L1'/'L2').
+    :param score_fn, score_aux: learned candidate distance instead of
+        pixel distance — the 'seq2seqGAN-disc' planner mode (reference
+        beam_search.py:226-236). Build with gan.make_disc_planner_score;
+        aux carries (I_0, cond). I_gt is ignored when set.
     :return: (actions, images) — actions[b] = [(op_name, params, dist), ...]
         per beam; images[b] = per-step edited images (1,3,H,W). Same
         contract as the reference (beam_search.py:262-264).
     """
     rng = np.random.default_rng(seed)
+    dist_type = normalize_dist_type(dist_type) if score_fn is None else "l1"
     if mode == "fixed":
         beam_size = 1
 
@@ -98,7 +127,8 @@ def beam_search(
             break
         params, dists, outs, cand_ops = _fit_step(
             I_buff, I_gt, step_ops, n_starts, n_iters, lr,
-            init_key=seed + step, op_masks=op_masks)
+            init_key=seed + step, op_masks=op_masks, dist_type=dist_type,
+            score_fn=score_fn, score_aux=score_aux)
 
         all_candidates, I_tmp = [], []
         no_update, finish = True, False
@@ -182,6 +212,7 @@ def batch_beam_search(
     lr: float = 0.05,
     replace: bool = False,
     seed: int = 0,
+    dist_type: str = "l1",
 ):
     """Plan MANY pairs in lockstep: one device fit per step covers every
     (pair x beam x op x restart) candidate simultaneously.
@@ -195,6 +226,7 @@ def batch_beam_search(
     :return: list of per-pair (actions, images) like beam_search's.
     """
     rng = np.random.default_rng(seed)
+    dist_type = normalize_dist_type(dist_type)
     if mode == "fixed":
         beam_size = 1
     p = I_0s.shape[0]
@@ -217,7 +249,8 @@ def batch_beam_search(
         flat = I_buff.reshape(p * n_beam, *I_buff.shape[2:])
         tgt = np.repeat(I_gts, n_beam, axis=0)
         params, dists, outs, cand_ops = _fit_step(
-            flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step)
+            flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step,
+            dist_type=dist_type)
         params = params.reshape(p, n_beam, *params.shape[1:])
         dists = dists.reshape(p, n_beam, -1)
         outs = outs.reshape(p, n_beam, *outs.shape[1:])

@@ -86,11 +86,12 @@ def _apply_candidates(imgs, onehot, params, masks=None):
     return out.reshape(n, c, 3, h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "lr"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "lr", "dist"))
 def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
                   init_params: jax.Array, n_iters: int = 100,
                   lr: float = 0.05,
-                  masks: jax.Array | None = None
+                  masks: jax.Array | None = None,
+                  dist: str = "l1",
                   ) -> Tuple[jax.Array, jax.Array]:
     """Fit params for every (image, candidate) pair at once.
 
@@ -100,9 +101,12 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
         (slot 0 identity, 1..8 executor ops).
     :param init_params: (N, C, 24) or (C, 24) initial parameters.
     :param n_iters: fixed Adam iterations (static).
+    :param dist: 'l1' (mean abs; reference beam_search.py:172-173) or
+        'l2' (mean squared). The reference's own L2 branch never reduces
+        its tensor (beam_search.py:174 returns `(x1-x2)**2/numel`, then
+        `.item()` on a non-scalar raises) — this is the evident intent.
     :return: (params (N, C, 24), dists (N, C)) — final params and the
-        L1 distance of the *final* edit (reference dist: mean abs,
-        beam_search.py:170-174).
+        distance of the *final* edit.
     """
     n = imgs.shape[0]
     c = onehot.shape[0]
@@ -112,7 +116,59 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
 
     def per_candidate_dist(params):
         out = _apply_candidates(imgs, onehot, params, masks)  # (N,C,3,H,W)
-        return jnp.abs(out - targets_b[:, None]).mean(axis=(2, 3, 4))
+        diff = out - targets_b[:, None]
+        if dist == "l2":
+            return (diff * diff).mean(axis=(2, 3, 4))
+        return jnp.abs(diff).mean(axis=(2, 3, 4))
+
+    def loss_fn(params):
+        return per_candidate_dist(params).sum()
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(init_params)
+
+    def body(_, carry):
+        params, opt_state = carry
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    params, _ = jax.lax.fori_loop(0, n_iters, body, (init_params, opt_state))
+    dists = per_candidate_dist(params)
+    return params, dists
+
+
+@functools.partial(jax.jit, static_argnames=("score_fn", "n_iters", "lr"))
+def fit_op_params_scored(imgs: jax.Array, onehot: jax.Array,
+                         init_params: jax.Array, score_fn, score_aux,
+                         n_iters: int = 100, lr: float = 0.05,
+                         masks: jax.Array | None = None
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Fit params against an arbitrary differentiable per-candidate score.
+
+    The learned-distance planner modes (reference beam_search.py:183-193:
+    `get_disc_dist` / `get_seq2seqGAN_disc_dist`, dist_type
+    'seq2seqGAN-disc') fit parameters by gradient descent on a
+    discriminator realism score instead of pixel distance. `score_fn`
+    generalizes that: any jax-differentiable
+    ``score_fn(outs (N, C, 3, H, W), score_aux) -> (N, C)`` distance
+    (lower = better).
+
+    Pass the SAME function object across calls — it is a static jit arg,
+    so a fresh closure per call would recompile every step.
+
+    :param score_aux: pytree of traced operands for score_fn (e.g. the
+        source images, text condition, and discriminator variables).
+    :return: (params (N, C, 24), dists (N, C)).
+    """
+    n = imgs.shape[0]
+    c = onehot.shape[0]
+    if init_params.ndim == 2:
+        init_params = jnp.broadcast_to(init_params[None], (n, c, bank.MAX_PARAM))
+
+    def per_candidate_dist(params):
+        out = _apply_candidates(imgs, onehot, params, masks)
+        return score_fn(out, score_aux)
 
     def loss_fn(params):
         return per_candidate_dist(params).sum()

@@ -32,14 +32,21 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
               operations: Sequence[int] = (0, 1, 2, 3, 5, 6),
               max_step: Optional[int] = None, err: float = 1e-2,
               mode: str = "plain", n_starts: int = 2, n_iters: int = 100,
-              lr: float = 0.05, seed: int = 0) -> dict:
-    """Plan one (input, target) pair and write its JSON + edit images."""
+              lr: float = 0.05, seed: int = 0, dist_type: str = "l1",
+              score_fn=None, score_aux=None) -> dict:
+    """Plan one (input, target) pair and write its JSON + edit images.
+
+    dist_type/score_fn/score_aux select the candidate distance: 'l1'/'l2'
+    pixel distance or a learned discriminator score (seq2seqGAN-disc) —
+    see planner.beam.beam_search.
+    """
     if max_step is None:
         max_step = len(operations)
     actions, images = beam_search(
         img_x, img_y, beam_size=beam_size, operations=operations,
         max_step=max_step, err=err, mode=mode, n_starts=n_starts,
-        n_iters=n_iters, lr=lr, seed=seed + index)
+        n_iters=n_iters, lr=lr, seed=seed + index, dist_type=dist_type,
+        score_fn=score_fn, score_aux=score_aux)
     item_dir = os.path.join(out_dir, f"{phase}{index}")
     os.makedirs(item_dir, exist_ok=True)
     info = {
@@ -56,12 +63,16 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
 
 def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
                  limit: Optional[int] = None, log_every: int = 10,
-                 start_index: int = 0, **plan_kwargs):
+                 start_index: int = 0, score_aux_fn=None, **plan_kwargs):
     """Plan over an iterable of (img_x (1,3,H,W), img_y, request) tuples.
 
     Embarrassingly parallel over pairs (per-pair JSON outputs) — multi-host
     fleets split the index range; `start_index` keeps the written item
     indices global when `pairs` is a shard starting mid-dataset.
+
+    :param score_aux_fn: for learned-distance planning (score_fn in
+        plan_kwargs): (img_x, request) -> score_aux computed per pair
+        (e.g. the text condition code for the discriminator distance).
     """
     os.makedirs(out_dir, exist_ok=True)
     avg_time, n = 0.0, 0
@@ -69,6 +80,9 @@ def plan_dataset(pairs: Iterable, out_dir: str, phase: str = "train",
         if limit is not None and i >= limit:
             break
         tik = time.time()
+        if score_aux_fn is not None:
+            plan_kwargs["score_aux"] = score_aux_fn(np.asarray(img_x),
+                                                    request)
         plan_pair(np.asarray(img_x), np.asarray(img_y), request, out_dir,
                   start_index + i, phase=phase, **plan_kwargs)
         n += 1

@@ -93,3 +93,39 @@ class CheckpointManager:
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
+
+
+class PytreeCheckpointer:
+    """Save/restore an arbitrary pytree with best tracking — used for state
+    that rides alongside the actor's TrainState (e.g. the GAN
+    discriminator bundle, which the reference also persists inside its
+    model.pth: load_seq2seqgan_disc restores the whole Pix2PixHDModel,
+    beam_search.py:52-63)."""
+
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, tree, itr: int, best: bool = False):
+        path = os.path.join(self.ckpt_dir, f"checkpoint_iter{itr:08d}")
+        self._ckptr.save(path, tree, force=True)
+        if best:
+            self._ckptr.save(os.path.join(self.ckpt_dir, "checkpoint_best"),
+                             tree, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, template, which: str = "best"):
+        if which == "best":
+            path = os.path.join(self.ckpt_dir, "checkpoint_best")
+        elif which == "latest":
+            cands = sorted(
+                d for d in os.listdir(self.ckpt_dir)
+                if d.startswith("checkpoint_iter"))
+            if not cands:
+                raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
+            path = os.path.join(self.ckpt_dir, cands[-1])
+        else:
+            path = which
+        return self._ckptr.restore(
+            path, jax.tree_util.tree_map(lambda x: x, template))

@@ -132,3 +132,94 @@ def test_batch_beam_search_matches_single():
                                 n_iters=100, lr=0.05)
         assert single[0][0][0] == top[0][0]
         assert abs(single[0][0][2] - top[0][2]) < 1e-4
+
+
+def test_fit_l2_dist_recovers_param():
+    """dist='l2' (reference beam_search.py:174's evident intent) recovers
+    the same edit; returned dists are squared-scale."""
+    img = jnp.asarray(_img(7))
+    target = O.apply_op_by_index(img, 0, jnp.asarray([[0.4]]))
+    onehot = jnp.asarray(np.eye(9, dtype=np.float32)[[1]])
+    init = jnp.zeros((1, 24))
+    params, dists = F.fit_op_params(img, target, onehot, init,
+                                    n_iters=150, lr=0.05, dist="l2")
+    assert abs(float(params[0, 0, 0]) - 0.4) < 0.05
+    assert float(dists[0, 0]) < 1e-4                # MSE of a near-exact fit
+
+
+def test_normalize_dist_type_reference_spellings():
+    import pytest
+
+    from t2onet_tpu.planner.beam import normalize_dist_type
+
+    assert normalize_dist_type("L1") == "l1"
+    assert normalize_dist_type("L2") == "l2"
+    with pytest.raises(ValueError):
+        normalize_dist_type("perceptual")           # stub in the reference
+
+
+def _l1_score_fn(outs, aux):
+    """score_fn expressing plain L1-to-target through the scored-fit path —
+    must reproduce fit_op_params exactly."""
+    (target,) = aux
+    return jnp.abs(outs - target[:, None]).mean(axis=(2, 3, 4))
+
+
+def test_scored_fit_matches_l1_fit():
+    img = jnp.asarray(_img(8))
+    target = O.apply_op_by_index(img, 2, jnp.asarray([[0.5]]))
+    slots = list(F.DEFAULT_PLAN_OPS)
+    onehot = jnp.asarray(np.eye(9, dtype=np.float32)[
+        F.candidate_op_slots(slots, 1) + 1])
+    init = jnp.asarray(F.init_candidates(slots, 1))
+    p1, d1 = F.fit_op_params(img, target, onehot, init, n_iters=80, lr=0.05)
+    p2, d2 = F.fit_op_params_scored(img, onehot, init, _l1_score_fn,
+                                    (target,), n_iters=80, lr=0.05)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+
+
+def test_beam_search_score_fn_matches_plain():
+    img = _img(9)
+    target = np.asarray(O.apply_op_by_index(jnp.asarray(img), 1,
+                                            jnp.asarray([[0.5]])))
+    plain, _ = beam_search(img, target, beam_size=2, max_step=2, err=1e-3,
+                           n_starts=1, n_iters=100, lr=0.05)
+    scored, _ = beam_search(img, target, beam_size=2, max_step=2, err=1e-3,
+                            n_starts=1, n_iters=100, lr=0.05,
+                            score_fn=_l1_score_fn,
+                            score_aux=(jnp.asarray(target),))
+    assert plain[0][0][0] == scored[0][0][0]
+    assert abs(plain[0][0][2] - scored[0][0][2]) < 1e-5
+
+
+def test_beam_search_disc_distance():
+    """seq2seqGAN-disc mode: a (random-init) text-conditioned multiscale
+    discriminator scores candidates; the planner must run end-to-end and
+    produce in-range scores and valid op programs."""
+    import jax
+
+    from t2onet_tpu.models.gan import (MultiscaleDiscriminator,
+                                       make_disc_planner_score)
+
+    img = _img(11, size=16)
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    v = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 16, 16)),
+                  jnp.zeros((1, 512)))
+
+    def disc_apply(x6, cond):
+        out, _ = disc.apply(v, x6, cond, train=True,
+                            mutable=["batch_stats"])
+        return out
+
+    score_fn = make_disc_planner_score(disc_apply)
+    cond = jnp.zeros((1, 512))
+    actions, images = beam_search(
+        img, img, beam_size=2, max_step=2, err=-1.0, n_starts=1,
+        n_iters=30, lr=0.05, score_fn=score_fn,
+        score_aux=(jnp.asarray(img), cond))
+    top = actions[0]
+    assert len(top) >= 1
+    assert all(a[0] in O.OP_NAMES for a in top)
+    assert all(0.0 <= a[2] <= 1.0 for a in top)     # 1 - sigmoid in [0,1]
+    assert images[0][0].shape == img.shape
