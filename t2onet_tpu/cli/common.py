@@ -54,6 +54,10 @@ def add_base_args(p: argparse.ArgumentParser):
     p.add_argument("--n_layers", type=int, default=2)
     p.add_argument("--operator_fc_dim", type=int, default=512)
     p.add_argument("--fix_input_embedding", type=int, default=0)
+    p.add_argument("--discrete_param", type=int, default=0,
+                   help="classify op params over discrete_step bins "
+                        "(reference fiveK_base_options discrete_param)")
+    p.add_argument("--discrete_step", type=int, default=10)
     # operator ranges (reference fiveK_base_options.py:48-54)
     p.add_argument("--exposure_range", type=float, default=3.5)
     p.add_argument("--sharpness_range", type=float, default=1.5)
@@ -81,7 +85,9 @@ def args_to_config(a) -> Config:
         n_layers=a.n_layers, bidirectional=bool(a.bidirectional),
         use_attention=bool(a.use_attention),
         operator_fc_dim=a.operator_fc_dim,
-        fix_input_embedding=bool(a.fix_input_embedding))
+        fix_input_embedding=bool(a.fix_input_embedding),
+        discrete_param=bool(getattr(a, "discrete_param", 0)),
+        discrete_step=getattr(a, "discrete_step", 10))
     ops = OperatorConfig(
         exposure_range=a.exposure_range, sharpness_range=a.sharpness_range,
         brightness_range=a.brightness_range, curve_steps=a.curve_steps)

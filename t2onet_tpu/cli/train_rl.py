@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=200,
                    help="supervised warmup iterations before RL")
     p.add_argument("--entropy_factor", type=float, default=0.05)
+    p.add_argument("--param_noise", type=float, default=0.0,
+                   help="exploration noise on op params (reference "
+                        "param_noise_factor 0.6; 0 = off)")
     p.add_argument("--data_parallel", type=int, default=1)
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
@@ -64,7 +67,8 @@ def main(argv=None):
 
     logger = common.ScalarLogger(run_dir, name="rl_metrics")
     sup_step = make_supervised_step(actor, mesh=mesh)
-    rl_step = make_rl_step(actor, mesh=mesh, entropy_factor=a.entropy_factor)
+    rl_step = make_rl_step(actor, mesh=mesh, entropy_factor=a.entropy_factor,
+                           param_noise=a.param_noise)
     eval_fn = make_eval_episode(actor)
 
     sh = batch_sharding(mesh) if mesh is not None else None

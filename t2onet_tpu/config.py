@@ -52,6 +52,12 @@ class ModelConfig:
     input_dropout_p: float = 0.0
     dropout_p: float = 0.0
     fix_input_embedding: bool = False
+    # discrete (classification) parameter mode: heads emit discrete_step
+    # bin logits per scalar op instead of a regressed value (reference
+    # fiveK_base_options.py discrete_param / discrete_step; default off,
+    # matching the configs of record)
+    discrete_param: bool = False
+    discrete_step: int = 10
     # vocab ids of special tokens (options/fiveK_train_options.py)
     null_id: int = 0
     start_id: int = 1

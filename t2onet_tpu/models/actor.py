@@ -52,7 +52,7 @@ class ParamHeads(nn.Module):
     fc_dim: int = 512
 
     @nn.compact
-    def __call__(self, context):
+    def __call__(self, context, with_raw: bool = False):
         w1 = self.param(
             "w1",
             lambda k, s: jax.random.uniform(
@@ -82,8 +82,13 @@ class ParamHeads(nn.Module):
             (bank.N_OPS, bank.MAX_PARAM),
         )
         heads = bank.HeadParams(w1=w1, b1=b1, w2=w2, b2=b2)
-        return bank.squash_params(bank.raw_head_features(heads, context),
-                                  self.opcfg)
+        raw = bank.raw_head_features(heads, context)
+        squashed = bank.squash_params(raw, self.opcfg)
+        if with_raw:
+            # raw is the bin-logit surface for the discrete (classification)
+            # parameter mode (reference operators.py:50-54, 73-88)
+            return squashed, raw
+        return squashed
 
 
 class Actor(nn.Module):
@@ -123,6 +128,18 @@ class Actor(nn.Module):
         """ResNet feature + BN + relu (reference actor.py:142-143)."""
         feat = self.vis_encoder(img, train=train)
         return nn.relu(self.bn1(feat, use_running_average=not train))
+
+    def _step_params(self, context, rng=None, sample: bool = False):
+        """Per-op params from the decoder context: regression, or the
+        discrete classification mode when cfg.discrete_param (reference
+        extract_parameters, operators.py:73-88)."""
+        if not self.cfg.discrete_param:
+            return self.heads(context)
+        cont, raw = self.heads(context, with_raw=True)
+        params, _ = bank.select_discrete_params(
+            raw, cont, rng, sample, self.explore_prob, self.opcfg,
+            self.cfg.discrete_step)
+        return params
 
     def __call__(self, x, img_x):
         """Default apply = greedy episode (used for init/compile checks)."""
@@ -178,7 +195,7 @@ class Actor(nn.Module):
             logprobs.append(logprob)
             if i == n_dec:
                 break
-            per_op_params = self.heads(context)     # (B, 8, 24)
+            per_op_params = self._step_params(context)   # (B, 8, 24)
             if with_images:
                 out_img, chosen = bank.execute_bank(
                     cur_img, y[:, i], per_op_params, mask=mask)
@@ -195,7 +212,8 @@ class Actor(nn.Module):
     # ------------------------------------------------------------------
     def episode(self, x, img_x, rng=None, sample: bool = False,
                 train: bool = False, masks=None,
-                pallas_exec: bool = False):
+                pallas_exec: bool = False,
+                param_noise: float = 0.0):
         """Free-running rollout (reference actor.py:184-284).
 
         :param x: (B, L) request tokens.
@@ -207,6 +225,10 @@ class Actor(nn.Module):
             (only the selected branch computed) instead of the
             differentiable one-hot bank — forward-only (no VJP), for
             serving/eval throughput.
+        :param param_noise: > 0 adds range-scaled exploration noise to the
+            predicted parameters, clamped to each op's range (the
+            reference's has_noise path, operators.py:113-121; its
+            param_noise_factor default is 0.6). Requires rng.
         :return: dict with
             imgs   (B, S, 3, H, W) image after each step
             ops    (B, S) chosen vocab op ids
@@ -249,7 +271,15 @@ class Actor(nn.Module):
                                           dtype=img.dtype)
                 step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
 
-            per_op_params = self.heads(context)
+            if self.cfg.discrete_param and sample:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            per_op_params = self._step_params(context, sub, sample)
+            if param_noise > 0.0:
+                rng, sub = jax.random.split(rng)
+                per_op_params = bank.add_param_noise(per_op_params, sub,
+                                                     self.opcfg, param_noise)
             if pallas_exec:
                 from t2onet_tpu.ops.pallas_fused import (
                     fused_chain, vocab_ops_to_slots)
@@ -278,10 +308,12 @@ class Actor(nn.Module):
 
     # ------------------------------------------------------------------
     def rl_step(self, x, img_x, carry, op, rng, train: bool = False,
-                masks=None):
+                masks=None, param_noise: float = 0.0):
         """Single RL step (reference actor.py:286-354 `forward`): decode one
         op from the previous op + current image, sample under the hard op
-        mask, execute, and re-decode for the next context. Returns
+        mask, execute, and re-decode for the next context. param_noise > 0
+        adds range-scaled exploration noise to the predicted parameters
+        (the reference's has_noise path, operators.py:113-121). Returns
         (pred_img, op_logprob, entropy_penalty, context, next_context,
         new_carry, pred_op)."""
         b = x.shape[0]
@@ -296,14 +328,23 @@ class Actor(nn.Module):
                                    (b, self.cfg.op_vocab_size))
         probs = probs * op_mask
         probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
-        pred_op = jax.random.categorical(rng, jnp.log(probs + 1e-30),
+        rng, op_rng = jax.random.split(rng)
+        pred_op = jax.random.categorical(op_rng, jnp.log(probs + 1e-30),
                                          axis=-1).astype(jnp.int32)
         step_mask = None
         if masks is not None:
             onehot_v = jax.nn.one_hot(pred_op, self.cfg.op_vocab_size,
                                       dtype=img_x.dtype)
             step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
-        per_op_params = self.heads(context)
+        if self.cfg.discrete_param:
+            rng, sub = jax.random.split(rng)
+            per_op_params = self._step_params(context, sub, sample=True)
+        else:
+            per_op_params = self.heads(context)
+        if param_noise > 0.0:
+            rng, sub = jax.random.split(rng)
+            per_op_params = bank.add_param_noise(per_op_params, sub,
+                                                 self.opcfg, param_noise)
         pred_img, _ = bank.execute_bank(img_x, pred_op, per_op_params,
                                         mask=step_mask)
         # re-decode on the produced image for the next context (actor.py:350-352)

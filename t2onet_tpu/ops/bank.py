@@ -119,6 +119,124 @@ def predict_params(heads: HeadParams, context: jax.Array, cfg) -> jax.Array:
     return squash_params(raw_head_features(heads, context), cfg)
 
 
+def param_ranges(cfg):
+    """Per-op (ub, lb, initial) scalars in executor order (reference
+    get_param_range: brightness operators.py:288-291, contrast 250-253,
+    saturation 484-487, color 618-621, inpaint 674-677, tone 587-590,
+    sharpness 363-366, white 517-520)."""
+    import numpy as np
+
+    ub = np.asarray([cfg.brightness_range, 1.0, cfg.saturation_range[1],
+                     cfg.color_curve_range[1], 0.0, cfg.tone_curve_range[1],
+                     cfg.sharpness_range, 1.0], np.float32)
+    lb = np.asarray([-cfg.brightness_range, -1.0, cfg.saturation_range[0],
+                     cfg.color_curve_range[0], 0.0, cfg.tone_curve_range[0],
+                     0.0, 0.0], np.float32)
+    initial = np.asarray([0.0, 0.0, 0.0,
+                          (cfg.color_curve_range[0] + cfg.color_curve_range[1]) / 2,
+                          0.0,
+                          (cfg.tone_curve_range[0] + cfg.tone_curve_range[1]) / 2,
+                          cfg.sharpness_range / 2, 0.5], np.float32)
+    return ub, lb, initial
+
+
+def _param_valid_mask():
+    """(N_OPS, MAX_PARAM) — 1 where column j is a real parameter of op i."""
+    import numpy as np
+
+    m = np.zeros((N_OPS, MAX_PARAM), np.float32)
+    for i, k in enumerate(O.PARAM_COUNTS):
+        m[i, :k] = 1.0
+    return m
+
+
+def add_param_noise(params: jax.Array, rng, cfg,
+                    factor: float = 0.6) -> jax.Array:
+    """Exploration noise on predicted parameters (the reference's
+    `has_noise` path, operators.py:57-60, 113-121): standard-normal noise
+    scaled asymmetrically so +/-3 sigma spans `factor` of each op's
+    (initial..ub) / (lb..initial) range, then clamped to [lb, ub].
+    Padding columns stay zero.
+
+    :param params: (B, N_OPS, 24) squashed per-op params.
+    :param factor: reference param_noise_factor default 0.6
+        (fiveK_train_options.py:56).
+    """
+    ub, lb, initial = param_ranges(cfg)
+    ub = jnp.asarray(ub)[None, :, None]
+    lb = jnp.asarray(lb)[None, :, None]
+    init = jnp.asarray(initial)[None, :, None]
+    n = jax.random.normal(rng, params.shape, params.dtype)
+    scaled = (jax.nn.relu(n) * (ub - init)
+              + jax.nn.relu(-n) * (init - lb)) / 3.0 * factor
+    noised = jnp.clip(params + scaled, lb, ub)
+    valid = jnp.asarray(_param_valid_mask())[None]
+    return jnp.where(valid > 0, noised, params)
+
+
+def discrete_param_grid(cfg, num: int = 10):
+    """Candidate parameter values per op for the discrete (classification)
+    mode (reference Operator.discretize, operators.py:146-161: range
+    starting at 0 -> linspace drop 0; symmetric range -> linspace drop the
+    middle 0). Returns (grid (N_OPS, num) f32, supported (N_OPS,) bool).
+
+    Ops whose range fits neither rule (saturation's asymmetric
+    [-0.2, 0.8]) or that have no classifier in the reference (the curve
+    ops — op_param_classifier is simply absent on Tone/Color, and the
+    base setup notes 'only support 1 operator parameter',
+    operators.py:53-54) are unsupported: callers keep the regression
+    output for them (the reference would raise).
+    """
+    import numpy as np
+
+    ub, lb, _ = param_ranges(cfg)
+    grid = np.zeros((N_OPS, num), np.float32)
+    supported = np.zeros((N_OPS,), bool)
+    for i in range(N_OPS):
+        if O.PARAM_COUNTS[i] != 1 or (ub[i] == 0 and lb[i] == 0):
+            continue
+        if lb[i] == 0:
+            grid[i] = np.delete(np.linspace(0, ub[i], num + 1), 0)
+        elif lb[i] == -ub[i]:
+            grid[i] = np.delete(np.linspace(lb[i], ub[i], num + 1), num // 2)
+        else:
+            continue
+        supported[i] = True
+    return grid, supported
+
+
+def select_discrete_params(raw: jax.Array, cont_params: jax.Array, rng,
+                           sample: bool, explore_prob: float, cfg,
+                           num: int = 10):
+    """Discrete parameter selection (reference discrete_param=1 mode:
+    op_param_classifier + select_param_ind, operators.py:164-175, 198-205).
+
+    The first `num` columns of each op's raw head output are bin logits;
+    the value is the chosen bin's grid entry. Sampling smooths the softmax
+    with explore_prob epsilon-greedy mass exactly as the reference;
+    sample=False takes the argmax.
+
+    :param raw: (B, N_OPS, 24) pre-squash head features.
+    :param cont_params: (B, N_OPS, 24) regression params — kept for ops
+        the discrete mode does not support (see discrete_param_grid).
+    :return: (params (B, N_OPS, 24), bin log-probs (B, N_OPS, num)).
+    """
+    grid, supported = discrete_param_grid(cfg, num)
+    logits = raw[:, :, :num]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if sample:
+        probs = jnp.exp(logp) * (1.0 - explore_prob) + explore_prob / num
+        probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
+        ind = jax.random.categorical(rng, jnp.log(probs + 1e-30), axis=-1)
+    else:
+        ind = jnp.argmax(logp, axis=-1)
+    vals = jnp.take_along_axis(jnp.asarray(grid)[None], ind[..., None],
+                               axis=-1)[..., 0]          # (B, N_OPS)
+    disc = jnp.zeros_like(cont_params).at[:, :, 0].set(vals)
+    sup = jnp.asarray(supported)[None, :, None]
+    return jnp.where(sup, disc, cont_params), logp
+
+
 def execute_onehot(img, onehot, params, mask=None, inpaint_fn=None):
     """Execute a (possibly different) op per sample, fixed shapes.
 

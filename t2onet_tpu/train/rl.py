@@ -72,10 +72,13 @@ def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
 
 
 def make_rl_step(actor: Actor, mesh=None, entropy_factor: float = 0.05,
-                 donate: bool = True):
+                 donate: bool = True, param_noise: float = 0.0):
     """Build the jitted RL episode step.
 
     batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W))
+    param_noise > 0 adds range-scaled exploration noise to predicted op
+    parameters (the reference's has_noise machinery, operators.py:113-121;
+    param_noise_factor default 0.6, fiveK_train_options.py:56).
     """
 
     def step_fn(state: TrainState, batch, rng):
@@ -83,7 +86,8 @@ def make_rl_step(actor: Actor, mesh=None, entropy_factor: float = 0.05,
             out, updates = actor.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["img_x"], rng=rng, sample=True,
-                train=True, mutable=["batch_stats"], method=Actor.episode)
+                train=True, mutable=["batch_stats"],
+                param_noise=param_noise, method=Actor.episode)
             total, metrics = rl_losses(out, batch["gt_img"],
                                        entropy_factor=entropy_factor)
             return total, (metrics, updates["batch_stats"])

@@ -1,0 +1,153 @@
+"""Parameter-head modes: exploration noise (reference has_noise,
+operators.py:57-60, 113-121) and the discrete classification mode
+(discrete_param / discrete_step, operators.py:50-54, 146-175)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2onet_tpu.config import ModelConfig, OperatorConfig
+from t2onet_tpu.ops import bank
+from t2onet_tpu.ops import operators as O
+
+
+CFG = OperatorConfig()
+
+
+def test_param_ranges_reference_values():
+    ub, lb, init = bank.param_ranges(CFG)
+    # brightness +-2 init 0 (operators.py:288-291)
+    assert ub[0] == 2.0 and lb[0] == -2.0 and init[0] == 0.0
+    # saturation [-0.2, 0.8] init 0 (operators.py:484-487)
+    assert np.isclose(ub[2], 0.8) and np.isclose(lb[2], -0.2)
+    # tone (0.5, 2) init mid (operators.py:587-590)
+    assert np.isclose(init[5], 1.25)
+    # sharpness (0, 1.5) init ub/2 (operators.py:363-366)
+    assert np.isclose(init[6], 0.75)
+
+
+def test_add_param_noise_in_range_and_padding_zero():
+    rng = jax.random.PRNGKey(0)
+    params = jnp.zeros((16, bank.N_OPS, bank.MAX_PARAM))
+    out = np.asarray(bank.add_param_noise(params, rng, CFG, factor=0.6))
+    ub, lb, _ = bank.param_ranges(CFG)
+    for i in range(bank.N_OPS):
+        k = O.PARAM_COUNTS[i]
+        assert (out[:, i, :k] >= lb[i] - 1e-6).all()
+        assert (out[:, i, :k] <= ub[i] + 1e-6).all()
+        assert (out[:, i, k:] == 0).all()           # padding untouched
+    # noise actually moves the params somewhere
+    assert np.abs(out[:, 0, 0]).max() > 1e-3
+    # inpaint's range is (0, 0): always clamped back to zero
+    assert (out[:, 4, :] == 0).all()
+
+
+def test_add_param_noise_deterministic_by_key():
+    params = jnp.full((4, bank.N_OPS, bank.MAX_PARAM), 0.1)
+    a = bank.add_param_noise(params, jax.random.PRNGKey(1), CFG)
+    b = bank.add_param_noise(params, jax.random.PRNGKey(1), CFG)
+    c = bank.add_param_noise(params, jax.random.PRNGKey(2), CFG)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0
+
+
+def test_discrete_param_grid_reference_rule():
+    grid, supported = bank.discrete_param_grid(CFG, num=10)
+    # symmetric range (brightness): linspace(-2, 2, 11) minus the 0 middle
+    assert supported[0]
+    expect = np.delete(np.linspace(-2, 2, 11), 5)
+    np.testing.assert_allclose(grid[0], expect, atol=1e-6)
+    assert 0.0 not in grid[0]
+    # zero-start range (white): linspace(0, 1, 11) minus the 0
+    assert supported[7]
+    np.testing.assert_allclose(grid[7], np.linspace(0.1, 1.0, 10), atol=1e-6)
+    # saturation's asymmetric range fits neither discretize case
+    assert not supported[2]
+    # curve ops have no classifier in the reference
+    assert not supported[3] and not supported[5]
+    assert not supported[4]                          # inpaint (0,0) range
+
+
+def test_select_discrete_params_argmax_and_fallback():
+    num = 10
+    b = 3
+    raw = jnp.asarray(np.random.default_rng(0).normal(
+        size=(b, bank.N_OPS, bank.MAX_PARAM)).astype(np.float32))
+    cont = bank.squash_params(raw, CFG)
+    params, logp = bank.select_discrete_params(raw, cont, None, False,
+                                               0.05, CFG, num)
+    grid, supported = bank.discrete_param_grid(CFG, num)
+    p = np.asarray(params)
+    ind = np.argmax(np.asarray(raw)[:, :, :num], axis=-1)
+    for i in range(bank.N_OPS):
+        if supported[i]:
+            np.testing.assert_allclose(p[:, i, 0], grid[i][ind[:, i]],
+                                       atol=1e-6)
+            assert (p[:, i, 1:] == 0).all()
+        else:
+            np.testing.assert_allclose(p[:, i], np.asarray(cont)[:, i])
+    # log-probs normalized
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0,
+                               atol=1e-5)
+
+
+def test_select_discrete_params_sampling_explores():
+    num = 10
+    raw = jnp.zeros((64, bank.N_OPS, bank.MAX_PARAM))   # uniform logits
+    cont = jnp.zeros((64, bank.N_OPS, bank.MAX_PARAM))
+    params, _ = bank.select_discrete_params(raw, cont, jax.random.PRNGKey(0),
+                                            True, 0.05, CFG, num)
+    vals = np.asarray(params)[:, 0, 0]                  # brightness bins
+    assert len(np.unique(vals)) > 3                     # spread over bins
+
+
+def _tiny_actor(discrete=False):
+    from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
+    from t2onet_tpu.models.actor import Actor
+
+    vocab = synthetic_vocab()
+    cfg = ModelConfig(encoder_max_len=8, decoder_max_len=3,
+                      discrete_param=discrete)
+    actor = Actor(cfg=cfg, opcfg=CFG, vocab_size=len(vocab))
+    ds = SyntheticFiveK(n=2, img_size=16, seed=0, req_max_len=8)
+    b = next(ds.batches(batch_size=2, steps=1, shuffle=False))
+    x = jnp.asarray(b["x"])
+    img = jnp.asarray(b["img_x"])
+    variables = actor.init({"params": jax.random.PRNGKey(0)}, x, img)
+    return actor, variables, x, img
+
+
+def test_episode_discrete_params_on_grid():
+    from t2onet_tpu.models.actor import Actor
+
+    actor, variables, x, img = _tiny_actor(discrete=True)
+    out = actor.apply(variables, x, img, rng=jax.random.PRNGKey(1),
+                      sample=True, method=Actor.episode)
+    grid, supported = bank.discrete_param_grid(CFG, 10)
+    ops = np.asarray(out["ops"])
+    params = np.asarray(out["params"])
+    assert np.isfinite(params).all()
+    for bi in range(ops.shape[0]):
+        for s in range(ops.shape[1]):
+            ei = ops[bi, s] - 3
+            if 0 <= ei < bank.N_OPS and supported[ei]:
+                assert np.any(np.isclose(grid[ei], params[bi, s, 0],
+                                         atol=1e-5)), (ei, params[bi, s, 0])
+
+
+def test_episode_param_noise_runs_in_range():
+    from t2onet_tpu.models.actor import Actor
+
+    actor, variables, x, img = _tiny_actor()
+    out = actor.apply(variables, x, img, rng=jax.random.PRNGKey(1),
+                      sample=True, param_noise=0.6, method=Actor.episode)
+    clean = actor.apply(variables, x, img, rng=jax.random.PRNGKey(1),
+                        sample=True, param_noise=0.0, method=Actor.episode)
+    assert np.isfinite(np.asarray(out["imgs"])).all()
+    ub, lb, _ = bank.param_ranges(CFG)
+    params = np.asarray(out["params"])                 # chosen (B,S,24)
+    # scalar slot stays within the widest op range
+    assert params[..., 0].max() <= ub.max() + 1e-5
+    assert params[..., 0].min() >= lb.min() - 1e-5
+    # noise changed something vs the clean rollout
+    assert np.abs(params - np.asarray(clean["params"])).max() > 1e-5
