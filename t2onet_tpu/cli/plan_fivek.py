@@ -104,6 +104,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--pair_batch", type=int, default=1,
                    help=">1: lockstep-batch pairs into one device fit")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help=">1: shard the lockstep pair fits over N devices "
+                        "(multi-chip planning; needs --pair_batch > 1)")
     p.add_argument("--dist_type", default="l1",
                    help="l1 / l2 (reference 'L1'/'L2') or seq2seqGAN-disc")
     p.add_argument("--disc_run_dir", default=None,
@@ -158,6 +161,10 @@ def main(argv=None):
     if a.pair_batch > 1:
         from t2onet_tpu.planner.generate import plan_dataset_batched
 
+        if a.data_parallel > 1:
+            from t2onet_tpu.parallel.mesh import make_mesh
+
+            kw["mesh"] = make_mesh(n_devices=a.data_parallel)
         plan_dataset_batched(pairs(), a.out_dir, phase=a.phase,
                              pair_batch=a.pair_batch, limit=a.limit,
                              start_index=a.start, **kw)

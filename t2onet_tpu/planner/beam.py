@@ -24,8 +24,15 @@ OP_NAMES = list(O.OP_NAMES)
 
 def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
               init_key, op_masks=None, dist_type="l1", score_fn=None,
-              score_aux=None):
+              score_aux=None, mesh=None):
     """One device call: fit all (beam, op, start) candidates.
+
+    With `mesh`, the (pair x beam) leading axis is sharded over the mesh's
+    first axis: the already-jitted fit follows the input sharding
+    (computation-follows-data GSPMD), so lockstep planning scales over ICI
+    with no separate SPMD code path. Candidates are independent, so the
+    only collective is the loss-sum psum XLA inserts for the shared Adam
+    scalar reduction.
 
     Returns (params (N,C,24), dists (N,C), outs (N,C,3,H,W)) as numpy,
     plus the candidate op index per column.
@@ -37,6 +44,23 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     onehot = jnp.asarray(np.stack(onehot_rows))
     init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
     imgs = jnp.asarray(I_buff)
+    n_real = imgs.shape[0]
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        pad = (-n_real) % n_dev          # device_put shards need divisibility
+        tgt_b = jnp.broadcast_to(jnp.asarray(target), imgs.shape)
+        if pad:
+            imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
+            tgt_b = jnp.concatenate([tgt_b, jnp.repeat(tgt_b[-1:], pad, 0)])
+        bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        rep = NamedSharding(mesh, P())
+        imgs = jax.device_put(imgs, bsh)
+        target = jax.device_put(tgt_b, bsh)
+        onehot = jax.device_put(onehot, rep)
+        init = jax.device_put(init, rep)
     masks = None
     if op_masks:
         h, w = I_buff.shape[-2:]
@@ -54,7 +78,8 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
             imgs, jnp.asarray(target), onehot, init,
             n_iters=n_iters, lr=lr, masks=masks, dist=dist_type)
     outs = F.execute_candidates(imgs, onehot, params, masks)
-    return (np.asarray(params), np.asarray(dists), np.asarray(outs), cand_ops)
+    return (np.asarray(params)[:n_real], np.asarray(dists)[:n_real],
+            np.asarray(outs)[:n_real], cand_ops)
 
 
 def normalize_dist_type(dist_type: str) -> str:
@@ -213,6 +238,7 @@ def batch_beam_search(
     replace: bool = False,
     seed: int = 0,
     dist_type: str = "l1",
+    mesh=None,
 ):
     """Plan MANY pairs in lockstep: one device fit per step covers every
     (pair x beam x op x restart) candidate simultaneously.
@@ -223,6 +249,10 @@ def batch_beam_search(
     until the chip saturates.
 
     :param I_0s, I_gts: (P, 3, H, W).
+    :param mesh: optional jax.sharding.Mesh — the (pair x beam) axis of
+        every fit shards over its first axis, scaling lockstep planning
+        across chips (multi-chip planning in ONE process; the fleet
+        launcher cli/plan_fleet.py is the multi-host alternative).
     :return: list of per-pair (actions, images) like beam_search's.
     """
     rng = np.random.default_rng(seed)
@@ -250,7 +280,7 @@ def batch_beam_search(
         tgt = np.repeat(I_gts, n_beam, axis=0)
         params, dists, outs, cand_ops = _fit_step(
             flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step,
-            dist_type=dist_type)
+            dist_type=dist_type, mesh=mesh)
         params = params.reshape(p, n_beam, *params.shape[1:])
         dists = dists.reshape(p, n_beam, -1)
         outs = outs.reshape(p, n_beam, *outs.shape[1:])

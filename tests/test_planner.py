@@ -223,3 +223,29 @@ def test_beam_search_disc_distance():
     assert all(a[0] in O.OP_NAMES for a in top)
     assert all(0.0 <= a[2] <= 1.0 for a in top)     # 1 - sigmoid in [0,1]
     assert images[0][0].shape == img.shape
+
+
+def test_batch_beam_search_sharded_matches_unsharded():
+    """Lockstep planning with the pair axis sharded over the virtual
+    8-device mesh must produce the same plans (computation-follows-data
+    SPMD; candidates are independent across pairs)."""
+    from t2onet_tpu.parallel.mesh import make_mesh
+    from t2onet_tpu.planner.beam import batch_beam_search
+
+    ops_true = [0, 1, 2, 6]
+    imgs, tgts = [], []
+    for i, op in enumerate(ops_true):
+        img = _img(20 + i, size=16)
+        t = O.apply_op_by_index(jnp.asarray(img), op, jnp.asarray([[0.5]]))
+        imgs.append(img[0])
+        tgts.append(np.asarray(t)[0])
+    I0, Igt = np.stack(imgs), np.stack(tgts)
+    kw = dict(beam_size=2, max_step=2, err=1e-3, n_starts=1, n_iters=60,
+              lr=0.05)
+    plain = batch_beam_search(I0, Igt, **kw)
+    sharded = batch_beam_search(I0, Igt, mesh=make_mesh(n_devices=8), **kw)
+    for (a1, _), (a2, _) in zip(plain, sharded):
+        assert a1[0][0][0] == a2[0][0][0]
+        np.testing.assert_allclose(a1[0][0][2], a2[0][0][2], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a1[0][0][1]),
+                                   np.asarray(a2[0][0][1]), atol=1e-4)
