@@ -47,26 +47,39 @@ def build_disc_distance(a, vocab2id, w2v):
                                              PytreeCheckpointer)
     from t2onet_tpu.train.loop import create_train_state
 
-    run_dir = a.disc_run_dir
-    if not run_dir:
+    if not a.disc_run_dir and not a.torch_gan_ckpt:
         raise SystemExit("--dist_type seq2seqGAN-disc needs --disc_run_dir "
-                         "(a cli.train_gan run directory)")
+                         "(a cli.train_gan run directory) or "
+                         "--torch_gan_ckpt (a reference model.pth)")
 
     actor, _cfg = common.build_actor(a, len(vocab2id), w2v)
     state = create_train_state(
         actor, jax.random.PRNGKey(0),
         jnp.zeros((1, a.encoder_max_len), jnp.int32),
         jnp.zeros((1, 3, a.img_size, a.img_size)))
-    ckpt_dir = os.path.join(run_dir, "seq2seqGAN_model")
-    state = CheckpointManager(ckpt_dir).restore(state, which=a.which_ckpt)
-
     bundle = DiscBundle(ndf=64, n_layers=a.n_layers_D, num_D=a.num_D)
     img6 = jnp.zeros((1, 6, a.img_size, a.img_size))
     hid0 = jnp.zeros((a.n_layers, 1, 2 * a.hidden_size))
     d_params, d_bs = bundle.init(jax.random.PRNGKey(0), img6, hid0)
-    tree = PytreeCheckpointer(os.path.join(ckpt_dir, "disc")).restore(
-        {"d_params": d_params, "d_batch_stats": d_bs}, which=a.which_ckpt)
-    d_params, d_bs = tree["d_params"], tree["d_batch_stats"]
+
+    if a.torch_gan_ckpt:
+        from t2onet_tpu.convert.torch_checkpoint import (
+            load_torch_gan_checkpoint)
+
+        actor_conv, (dp, ds) = load_torch_gan_checkpoint(
+            a.torch_gan_ckpt, num_D=a.num_D, n_layers_D=a.n_layers_D,
+            n_layers=a.n_layers)
+        if actor_conv is not None:
+            state = state.replace(params=actor_conv[0],
+                                  batch_stats=actor_conv[1])
+        d_params, d_bs = dp, ds
+    else:
+        ckpt_dir = os.path.join(a.disc_run_dir, "seq2seqGAN_model")
+        state = CheckpointManager(ckpt_dir).restore(state, which=a.which_ckpt)
+        tree = PytreeCheckpointer(os.path.join(ckpt_dir, "disc")).restore(
+            {"d_params": d_params, "d_batch_stats": d_bs},
+            which=a.which_ckpt)
+        d_params, d_bs = tree["d_params"], tree["d_batch_stats"]
 
     score_fn = make_disc_planner_score(
         bundle.disc_apply(d_params, d_bs, train=True))
@@ -111,6 +124,9 @@ def main(argv=None):
                    help="l1 / l2 (reference 'L1'/'L2') or seq2seqGAN-disc")
     p.add_argument("--disc_run_dir", default=None,
                    help="train_gan run dir (for --dist_type seq2seqGAN-disc)")
+    p.add_argument("--torch_gan_ckpt", default=None,
+                   help="reference seq2seqGAN model.pth — converted actor "
+                        "+ discriminator drive the disc distance")
     p.add_argument("--which_ckpt", default="best",
                    help="best / latest / explicit checkpoint path")
     p.add_argument("--num_D", type=int, default=2)

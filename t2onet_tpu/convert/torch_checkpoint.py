@@ -141,9 +141,78 @@ def convert_state_dict(sd: Dict, n_layers: int = 2,
     return params, stats
 
 
+def convert_gan_state_dict(sd: Dict, num_D: int = 2, n_layers_D: int = 3,
+                           use_sigmoid: bool = False, n_layers: int = 2):
+    """Convert a reference Pix2PixHDModel checkpoint (the whole-model
+    state_dict train_seq2seqGAN.py:129 saves: actor.* + netD.* +
+    cond_encoder.*) into (actor (params, batch_stats),
+    disc bundle (params, batch_stats)) for cli.train_gan.DiscBundle.
+
+    Key layout (reference networks.py:312-323, 387-401): each scale's
+    NLayerDiscriminator is flattened into `netD.scale{i}_layer{j}` where
+    layer j is a Sequential — index 0 the Conv2d, index 1 the BatchNorm2d
+    when present (layers 1..n_all-2; the first and final layers have
+    none). Scale index i is used at the same resolution in both
+    frameworks (largest input -> scale{num_D-1}), so names map directly.
+    `cond_encoder.fc` is Linear + BatchNorm1d (networks.py:294-297).
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v, np.float32) for k, v in sd.items()}
+    actor_sd = {k[len("actor."):]: v for k, v in sd.items()
+                if k.startswith("actor.")}
+    actor = (convert_state_dict(actor_sd, n_layers=n_layers)
+             if actor_sd else None)
+
+    n_all = n_layers_D + (3 if not use_sigmoid else 4)
+    disc_p: Dict = {}
+    disc_s: Dict = {}
+    for i in range(num_D):
+        sp: Dict = {}
+        ss: Dict = {}
+        conv_i = 0
+        bn_i = 0
+        for j in range(n_all):
+            pre = f"netD.scale{i}_layer{j}"
+            if f"{pre}.0.weight" not in sd:
+                raise KeyError(f"missing {pre}.0.weight — wrong "
+                               f"num_D/n_layers_D for this checkpoint?")
+            sp[f"Conv_{conv_i}"] = {"kernel": _conv(sd[f"{pre}.0.weight"]),
+                                    "bias": sd[f"{pre}.0.bias"]}
+            conv_i += 1
+            if f"{pre}.1.weight" in sd:
+                sp[f"BatchNorm_{bn_i}"] = {"scale": sd[f"{pre}.1.weight"],
+                                           "bias": sd[f"{pre}.1.bias"]}
+                ss[f"BatchNorm_{bn_i}"] = {
+                    "mean": sd[f"{pre}.1.running_mean"],
+                    "var": sd[f"{pre}.1.running_var"]}
+                bn_i += 1
+        disc_p[f"scale{i}"] = sp
+        disc_s[f"scale{i}"] = ss
+
+    cond_p = {"Dense_0": {"kernel": _t(sd["cond_encoder.fc.0.weight"]),
+                          "bias": sd["cond_encoder.fc.0.bias"]},
+              "BatchNorm_0": {"scale": sd["cond_encoder.fc.1.weight"],
+                              "bias": sd["cond_encoder.fc.1.bias"]}}
+    cond_s = {"BatchNorm_0": {"mean": sd["cond_encoder.fc.1.running_mean"],
+                              "var": sd["cond_encoder.fc.1.running_var"]}}
+    bundle = ({"disc": disc_p, "cond": cond_p},
+              {"disc": disc_s, "cond": cond_s})
+    return actor, bundle
+
+
 def load_torch_checkpoint(path: str, n_layers: int = 2):
     """Load model.pth (torch cpu) and convert."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(sd, n_layers=n_layers)
+
+
+def load_torch_gan_checkpoint(path: str, num_D: int = 2, n_layers_D: int = 3,
+                              n_layers: int = 2):
+    """Load a reference seq2seqGAN model.pth and convert actor + D."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_gan_state_dict(sd, num_D=num_D, n_layers_D=n_layers_D,
+                                  n_layers=n_layers)

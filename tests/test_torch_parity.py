@@ -297,3 +297,119 @@ def test_supervised_losses_match_torch_oracle():
     np.testing.assert_allclose(float(op_loss), float(ref_op), rtol=1e-6)
     np.testing.assert_allclose(float(param_loss), float(ref_param),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GAN discriminator checkpoint conversion (reference networks.py:294-424)
+# ---------------------------------------------------------------------------
+
+def _torch_scale_layers(in_nc, cond_nc, ndf, n_layers):
+    """Torch oracle of one NLayerDiscriminator, flattened per-layer
+    Sequentials exactly as the reference registers them
+    (networks.py:359-401)."""
+    tnn = torch.nn
+    kw, padw = 4, 2
+    seq = [tnn.Sequential(tnn.Conv2d(in_nc, ndf, kw, 2, padw),
+                          tnn.LeakyReLU(0.2, True))]
+    nf = ndf
+    for _ in range(1, n_layers):
+        nf_prev, nf = nf, min(nf * 2, 512)
+        seq.append(tnn.Sequential(tnn.Conv2d(nf_prev, nf, kw, 2, padw),
+                                  tnn.BatchNorm2d(nf),
+                                  tnn.LeakyReLU(0.2, True)))
+    nf_prev = nf + cond_nc
+    nf = min(nf * 2, 512)
+    seq.append(tnn.Sequential(tnn.Conv2d(nf_prev, nf, kw, 1, padw),
+                              tnn.BatchNorm2d(nf), tnn.LeakyReLU(0.2, True)))
+    seq.append(tnn.Sequential(tnn.Conv2d(nf, nf, kw, 1, padw),
+                              tnn.BatchNorm2d(nf), tnn.LeakyReLU(0.2, True)))
+    seq.append(tnn.Sequential(tnn.Conv2d(nf, 1, kw, 1, padw)))
+    return seq
+
+
+def _torch_single_d(seq, x, cond, n_layers):
+    """singleD_forward semantics (networks.py:326-345)."""
+    res = x
+    for n in range(n_layers):
+        res = seq[n](res)
+    b, _, h, w = res.shape
+    cmap = cond[:, :, None, None].expand(b, cond.shape[1], h, w)
+    res = seq[n_layers](torch.cat([res, cmap], 1))
+    for n in range(n_layers + 1, len(seq)):
+        res = seq[n](res)
+    return res
+
+
+def test_gan_disc_conversion_matches_torch():
+    from t2onet_tpu.convert.torch_checkpoint import convert_gan_state_dict
+    from t2onet_tpu.models.gan import MultiscaleDiscriminator
+
+    torch.manual_seed(0)
+    num_D, n_layers_D, ndf, cond_nc = 2, 3, 8, 16
+    scales = [_torch_scale_layers(6, cond_nc, ndf, n_layers_D)
+              for _ in range(num_D)]
+    cond_fc = torch.nn.Sequential(torch.nn.Linear(2 * 2 * 5, cond_nc),
+                                  torch.nn.BatchNorm1d(cond_nc),
+                                  torch.nn.LeakyReLU(0.2, True))
+
+    # randomize BN running stats via one training-mode pass
+    x = torch.randn(4, 6, 32, 32)
+    hid = torch.randn(2, 4, 2 * 5)
+    cond = cond_fc(hid.transpose(0, 1).reshape(4, -1))
+    down = x
+    for i in range(num_D):
+        _torch_single_d(scales[num_D - 1 - i], down, cond, n_layers_D)
+        down = torch.nn.functional.avg_pool2d(down, 3, 2, 1,
+                                              count_include_pad=False)
+    for seq in scales:
+        for m in seq:
+            m.eval()
+    cond_fc.eval()
+
+    sd = {}
+    for i, seq in enumerate(scales):
+        for j, layer in enumerate(seq):
+            for k, v in layer.state_dict().items():
+                if "num_batches" in k:
+                    continue
+                sd[f"netD.scale{i}_layer{j}.{k}"] = v
+    for k, v in cond_fc.state_dict().items():
+        if "num_batches" in k:
+            continue
+        sd[f"cond_encoder.fc.{k}"] = v
+
+    actor, (d_params, d_stats) = convert_gan_state_dict(
+        sd, num_D=num_D, n_layers_D=n_layers_D)
+    assert actor is None                     # no actor.* keys in this sd
+
+    with torch.no_grad():
+        cond_t = cond_fc(hid.transpose(0, 1).reshape(4, -1))
+        torch_outs = []
+        down = x
+        for i in range(num_D):
+            torch_outs.append(_torch_single_d(scales[num_D - 1 - i], down,
+                                              cond_t, n_layers_D))
+            down = torch.nn.functional.avg_pool2d(down, 3, 2, 1,
+                                                  count_include_pad=False)
+
+    from t2onet_tpu.models.gan import ConditionEncoding
+
+    cond_mod = ConditionEncoding(cond_nc=cond_nc)
+    cond_j = cond_mod.apply({"params": d_params["cond"],
+                             "batch_stats": d_stats["cond"]},
+                            jnp.asarray(np.asarray(hid)), train=False)
+    np.testing.assert_allclose(np.asarray(cond_j),
+                               np.asarray(cond_t), atol=2e-5)
+
+    disc = MultiscaleDiscriminator(cond_nc=cond_nc, ndf=ndf,
+                                   n_layers=n_layers_D, num_D=num_D)
+    preds = disc.apply({"params": d_params["disc"],
+                        "batch_stats": d_stats["disc"]},
+                       jnp.asarray(np.asarray(x)), cond_j, train=False)
+    assert len(preds) == num_D
+    for k in range(num_D):
+        np.testing.assert_allclose(np.asarray(preds[k][-1])[:, :, :, 0]
+                                   if preds[k][-1].ndim == 4 else
+                                   np.asarray(preds[k][-1]),
+                                   np.asarray(torch_outs[k][:, 0]),
+                                   atol=5e-4)
