@@ -76,13 +76,22 @@ def build_disc_distance(a, vocab2id, w2v):
     else:
         ckpt_dir = os.path.join(a.disc_run_dir, "seq2seqGAN_model")
         state = CheckpointManager(ckpt_dir).restore(state, which=a.which_ckpt)
+        # an explicit --which_ckpt path names the ACTOR checkpoint; the disc
+        # twin lives at disc/<same basename>
+        d_which = a.which_ckpt
+        if d_which not in ("best", "latest"):
+            d_which = os.path.join(ckpt_dir, "disc",
+                                   os.path.basename(os.path.normpath(d_which)))
         tree = PytreeCheckpointer(os.path.join(ckpt_dir, "disc")).restore(
-            {"d_params": d_params, "d_batch_stats": d_bs},
-            which=a.which_ckpt)
+            {"d_params": d_params, "d_batch_stats": d_bs}, which=d_which)
         d_params, d_bs = tree["d_params"], tree["d_batch_stats"]
 
+    # eval-mode BN throughout: train-mode BatchNorm1d on a single request
+    # would normalize the cond vector to a constant (erasing the text
+    # conditioning), and train-mode disc BN would couple each candidate's
+    # score to the rest of the fitting batch
     score_fn = make_disc_planner_score(
-        bundle.disc_apply(d_params, d_bs, train=True))
+        bundle.disc_apply(d_params, d_bs, train=False))
 
     @jax.jit
     def encode(x):
@@ -94,7 +103,7 @@ def build_disc_distance(a, vocab2id, w2v):
     def score_aux_fn(img_x, request):
         x = txt2idx(request, vocab2id, a.encoder_max_len)[0].astype(np.int32)
         h = encode(jnp.asarray(x)[None])
-        cond, _ = bundle.apply(d_params, d_bs, None, h, train=True)
+        cond = bundle.apply(d_params, d_bs, None, h, train=False)[0]
         return (jnp.asarray(np.asarray(img_x)), cond)
 
     return score_fn, score_aux_fn
@@ -147,16 +156,11 @@ def main(argv=None):
         import os
 
         from t2onet_tpu.data.fivek import FiveK
-        from t2onet_tpu.data.text import load_vocab, load_embedding
 
         ds = FiveK(os.path.join(a.data_dir, "FiveK", "images"),
                    os.path.join(a.data_dir, "FiveK", "annotations"),
                    a.phase, a.session, a.img_size)
-        vocab_dir = os.path.join(a.data_dir, "language")
-        vocab2id, _, _, _ = load_vocab(vocab_dir, a.dataset, a.session)
-        glove = os.path.join(
-            vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
-        w2v = load_embedding(glove) if os.path.exists(glove) else None
+        vocab2id = w2v = None          # loaded only by the disc distance
 
         def pairs():
             for i in range(a.start, len(ds)):
@@ -170,9 +174,22 @@ def main(argv=None):
         if a.pair_batch > 1:
             raise SystemExit("--dist_type seq2seqGAN-disc plans pairs one "
                              "at a time (drop --pair_batch)")
+        if vocab2id is None:
+            import os
+
+            from t2onet_tpu.data.text import load_vocab, load_embedding
+
+            vocab_dir = os.path.join(a.data_dir, "language")
+            vocab2id, _, _, _ = load_vocab(vocab_dir, a.dataset, a.session)
+            glove = os.path.join(
+                vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
+            w2v = load_embedding(glove) if os.path.exists(glove) else None
         kw["score_fn"], score_aux_fn = build_disc_distance(a, vocab2id, w2v)
     else:
         kw["dist_type"] = a.dist_type
+    if a.data_parallel > 1 and a.pair_batch <= 1:
+        raise SystemExit("--data_parallel shards the lockstep pair fits — "
+                         "it needs --pair_batch > 1")
 
     if a.pair_batch > 1:
         from t2onet_tpu.planner.generate import plan_dataset_batched

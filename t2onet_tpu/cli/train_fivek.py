@@ -57,6 +57,9 @@ def main(argv=None):
                    help="reference-exact per-step BatchNorm statistics in "
                         "the supervised phase (slower; default batches all "
                         "decode steps into one vis-encoder forward)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of N steps "
+                        "(after warmup) into {run_dir}/profile")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
@@ -107,7 +110,17 @@ def main(argv=None):
             "L1_loss": jnp.zeros(())}
     counts = {k: 0 for k in sums}
     tik = time.time()
+    # profile window: steps prof_start..prof_start+N-1, after both phase
+    # graphs are warm (compiled)
+    prof_start = 5 if a.profile_steps else -1
+    prof_stop = prof_start + a.profile_steps - 1
+    prof_open = False
     for itr, jb in enumerate(it, start=1):
+        if itr == prof_start:
+            import jax.profiler as _prof
+
+            _prof.start_trace(os.path.join(run_dir, "profile"))
+            prof_open = True
         if a.fs_only or itr % 2 == 1:       # supervised phase
             state, m = sup_step(state, {k: jb[k] for k in
                                         ("x", "y", "img_x", "img_y",
@@ -121,6 +134,14 @@ def main(argv=None):
             if k in sums:
                 sums[k] = sums[k] + v
                 counts[k] += 1
+        if prof_open and itr >= prof_stop:
+            import jax.profiler as _prof
+
+            jax.block_until_ready(state.params)
+            _prof.stop_trace()
+            prof_open = False
+            print(f"profile trace ({itr - prof_start + 1} steps) -> "
+                  f"{os.path.join(run_dir, 'profile')}", flush=True)
 
         if itr % a.print_every == 0:
             avg = {k: float(sums[k]) / max(counts[k], 1) for k in sums}
@@ -142,6 +163,11 @@ def main(argv=None):
                 print(f"best model at iter {itr} (val L1 {val:.4f})")
         if itr >= a.num_iters:
             break
+    if prof_open:                       # run ended inside the profile window
+        import jax.profiler as _prof
+
+        jax.block_until_ready(state.params)
+        _prof.stop_trace()
     print("training done")
 
 

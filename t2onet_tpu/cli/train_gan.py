@@ -66,8 +66,13 @@ class DiscBundle:
               train=True):
         """Encode the text condition; returns (cond code, cond batch_stats).
 
-        Note: D/cond BatchNorms use current-batch stats in training; their
-        running averages are not tracked (D is never used in eval mode)."""
+        Training losses use current-batch BN stats (matching the reference,
+        whose D stays in torch train mode); running averages are refreshed
+        once per GAN iter via update_stats so EVAL-mode use — the planner's
+        seq2seqGAN-disc distance — sees real statistics. (Eval mode is
+        required there: train-mode BatchNorm1d on a single request
+        normalizes the cond vector to a constant, erasing the text
+        conditioning; the reference would error outright on batch 1.)"""
         cv = {"params": params["cond"], "batch_stats": batch_stats["cond"]}
         if train:
             cond, cu = self.cond.apply(cv, cond_hidden, train=True,
@@ -87,6 +92,18 @@ class DiscBundle:
                 out = self.disc.apply(dv, x6, cond, train=False)
             return out
         return f
+
+    def update_stats(self, params, batch_stats, x6, cond_hidden):
+        """One train-mode forward that RETURNS the updated BN running
+        averages (flax mutable) — called once per GAN iter so checkpoints
+        carry usable eval-mode statistics for the planner distance."""
+        cv = {"params": params["cond"], "batch_stats": batch_stats["cond"]}
+        cond, cu = self.cond.apply(cv, cond_hidden, train=True,
+                                   mutable=["batch_stats"])
+        dv = {"params": params["disc"], "batch_stats": batch_stats["disc"]}
+        _, du = self.disc.apply(dv, x6, cond, train=True,
+                                mutable=["batch_stats"])
+        return {"cond": cu["batch_stats"], "disc": du["batch_stats"]}
 
 
 def main(argv=None):
@@ -175,9 +192,14 @@ def main(argv=None):
         d_updates, d_opt = tx_d.update(d_grads, gan.d_opt, gan.d_params)
         new_d_params = optax.apply_updates(gan.d_params, d_updates)
 
+        new_d_bs = bundle.update_stats(
+            new_d_params, gan.d_batch_stats,
+            jnp.concatenate([batch["img_x"], batch["gt_img"]], axis=1),
+            enc_h)
         state = state.replace(params=new_actor_params, batch_stats=new_bs,
                               step=state.step + 1)
-        gan = gan.replace(d_params=new_d_params, d_opt=d_opt, g_opt=g_opt)
+        gan = gan.replace(d_params=new_d_params, d_batch_stats=new_d_bs,
+                          d_opt=d_opt, g_opt=g_opt)
         metrics = {"G_loss": g_total, "D_loss": d_total,
                    "G_GAN": ld["G_GAN"], "G_GAN_Feat": ld["G_GAN_Feat"],
                    "D_real": ld2["D_real"], "D_fake": ld2["D_fake"]}

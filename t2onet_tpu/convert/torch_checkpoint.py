@@ -163,7 +163,10 @@ def convert_gan_state_dict(sd: Dict, num_D: int = 2, n_layers_D: int = 3,
     actor = (convert_state_dict(actor_sd, n_layers=n_layers)
              if actor_sd else None)
 
-    n_all = n_layers_D + (3 if not use_sigmoid else 4)
+    # parameter-bearing layers: use_sigmoid only appends a Sequential
+    # holding a bare Sigmoid (networks.py:398-399) — no weights to convert
+    del use_sigmoid
+    n_all = n_layers_D + 3
     disc_p: Dict = {}
     disc_s: Dict = {}
     for i in range(num_D):

@@ -132,14 +132,17 @@ class Actor(nn.Module):
     def _step_params(self, context, rng=None, sample: bool = False):
         """Per-op params from the decoder context: regression, or the
         discrete classification mode when cfg.discrete_param (reference
-        extract_parameters, operators.py:73-88)."""
+        extract_parameters, operators.py:73-88).
+
+        Returns (params (B, 8, 24), bin log-probs (B, 8, discrete_step) or
+        None in regression mode) — the log-probs feed the bin
+        cross-entropy that trains the discrete heads (train/loop.py)."""
         if not self.cfg.discrete_param:
-            return self.heads(context)
+            return self.heads(context), None
         cont, raw = self.heads(context, with_raw=True)
-        params, _ = bank.select_discrete_params(
+        return bank.select_discrete_params(
             raw, cont, rng, sample, self.explore_prob, self.opcfg,
             self.cfg.discrete_step)
-        return params
 
     def __call__(self, x, img_x):
         """Default apply = greedy episode (used for init/compile checks)."""
@@ -164,6 +167,10 @@ class Actor(nn.Module):
         :return: (pred_imgs (B, T-2, 3, H, W) or None,
                   pred_params (B, T-2, 24),
                   op_logprobs (B, T-1, n_cls))
+            — plus a 4th element, bin log-probs (B, T-2, 8, discrete_step),
+            when cfg.discrete_param (the classification targets that make
+            the discrete heads trainable; the reference's discrete mode
+            has no gradient path to its bin logits in-repo).
         """
         enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
         carry = self.decoder.init_carry(enc_hidden)
@@ -186,7 +193,7 @@ class Actor(nn.Module):
             flat = step_imgs.reshape((b * n_dec,) + step_imgs.shape[2:])
             feats = self.vis_feat(flat, train).reshape(b, n_dec, -1)
 
-        logprobs, params, imgs = [], [], []
+        logprobs, params, imgs, bin_logps = [], [], [], []
         cur_img = img_x
         for i in range(1, n_dec + 1):
             feat = feats[:, i - 1]
@@ -195,7 +202,9 @@ class Actor(nn.Module):
             logprobs.append(logprob)
             if i == n_dec:
                 break
-            per_op_params = self._step_params(context)   # (B, 8, 24)
+            per_op_params, bin_logp = self._step_params(context)  # (B, 8, 24)
+            if self.cfg.discrete_param:
+                bin_logps.append(bin_logp)
             if with_images:
                 out_img, chosen = bank.execute_bank(
                     cur_img, y[:, i], per_op_params, mask=mask)
@@ -207,6 +216,9 @@ class Actor(nn.Module):
         pred_params = jnp.stack(params, axis=1)
         op_logprobs = jnp.stack(logprobs, axis=1)
         pred_imgs = jnp.stack(imgs, axis=1) if with_images else None
+        if self.cfg.discrete_param:
+            return pred_imgs, pred_params, op_logprobs, \
+                jnp.stack(bin_logps, axis=1)
         return pred_imgs, pred_params, op_logprobs
 
     # ------------------------------------------------------------------
@@ -275,7 +287,7 @@ class Actor(nn.Module):
                 rng, sub = jax.random.split(rng)
             else:
                 sub = None
-            per_op_params = self._step_params(context, sub, sample)
+            per_op_params, _ = self._step_params(context, sub, sample)
             if param_noise > 0.0:
                 rng, sub = jax.random.split(rng)
                 per_op_params = bank.add_param_noise(per_op_params, sub,
@@ -338,7 +350,7 @@ class Actor(nn.Module):
             step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
         if self.cfg.discrete_param:
             rng, sub = jax.random.split(rng)
-            per_op_params = self._step_params(context, sub, sample=True)
+            per_op_params, _ = self._step_params(context, sub, sample=True)
         else:
             per_op_params = self.heads(context)
         if param_noise > 0.0:

@@ -205,6 +205,21 @@ def discrete_param_grid(cfg, num: int = 10):
     return grid, supported
 
 
+def gt_param_bins(gt_scalar: jax.Array, op_exec_idx: jax.Array, cfg,
+                  num: int = 10):
+    """Nearest discretization bin of each gt scalar parameter under its
+    op's grid — the classification target for training the discrete
+    parameter mode. Returns (bins (...,), supported (...,) bool); entries
+    whose op is special (< 0) or not discrete-capable are unsupported.
+    """
+    grid, supported = discrete_param_grid(cfg, num)
+    idx = jnp.clip(op_exec_idx, 0, N_OPS - 1)
+    d = jnp.abs(jnp.asarray(grid)[idx] - gt_scalar[..., None])
+    bins = jnp.argmin(d, axis=-1)
+    sup = jnp.asarray(supported)[idx] & (op_exec_idx >= 0)
+    return bins, sup
+
+
 def select_discrete_params(raw: jax.Array, cont_params: jax.Array, rng,
                            sample: bool, explore_prob: float, cfg,
                            num: int = 10):

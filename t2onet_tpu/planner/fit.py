@@ -121,6 +121,13 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
             return (diff * diff).mean(axis=(2, 3, 4))
         return jnp.abs(diff).mean(axis=(2, 3, 4))
 
+    return _adam_fit(per_candidate_dist, init_params, n_iters, lr)
+
+
+def _adam_fit(per_candidate_dist, init_params, n_iters: int, lr: float):
+    """The shared multi-start Adam loop: minimize the sum of independent
+    per-candidate distances; return (final params, final dists)."""
+
     def loss_fn(params):
         return per_candidate_dist(params).sum()
 
@@ -134,8 +141,7 @@ def fit_op_params(imgs: jax.Array, targets: jax.Array, onehot: jax.Array,
         return optax.apply_updates(params, updates), opt_state
 
     params, _ = jax.lax.fori_loop(0, n_iters, body, (init_params, opt_state))
-    dists = per_candidate_dist(params)
-    return params, dists
+    return params, per_candidate_dist(params)
 
 
 @functools.partial(jax.jit, static_argnames=("score_fn", "n_iters", "lr"))
@@ -170,21 +176,7 @@ def fit_op_params_scored(imgs: jax.Array, onehot: jax.Array,
         out = _apply_candidates(imgs, onehot, params, masks)
         return score_fn(out, score_aux)
 
-    def loss_fn(params):
-        return per_candidate_dist(params).sum()
-
-    tx = optax.adam(lr)
-    opt_state = tx.init(init_params)
-
-    def body(_, carry):
-        params, opt_state = carry
-        grads = jax.grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
-
-    params, _ = jax.lax.fori_loop(0, n_iters, body, (init_params, opt_state))
-    dists = per_candidate_dist(params)
-    return params, dists
+    return _adam_fit(per_candidate_dist, init_params, n_iters, lr)
 
 
 def execute_candidates(imgs, onehot, params, masks=None):

@@ -17,6 +17,19 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str:
+    """'best' / 'latest' / explicit path -> checkpoint directory."""
+    if which == "best":
+        return os.path.join(ckpt_dir, "checkpoint_best")
+    if which == "latest":
+        cands = sorted(d for d in os.listdir(ckpt_dir)
+                       if d.startswith("checkpoint_iter"))
+        if not cands:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+        return os.path.join(ckpt_dir, cands[-1])
+    return which
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
@@ -74,17 +87,7 @@ class CheckpointManager:
 
     def restore(self, state, which: str = "best"):
         """Restore into the structure of `state` (a TrainState template)."""
-        if which == "best":
-            path = os.path.join(self.ckpt_dir, "checkpoint_best")
-        elif which == "latest":
-            cands = sorted(
-                d for d in os.listdir(self.ckpt_dir)
-                if d.startswith("checkpoint_iter"))
-            if not cands:
-                raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
-            path = os.path.join(self.ckpt_dir, cands[-1])
-        else:
-            path = which
+        path = _resolve_ckpt_path(self.ckpt_dir, which)
         template = jax.tree_util.tree_map(lambda x: x, self._state_tree(state))
         restored = self._ckptr.restore(path, template)
         return state.replace(
@@ -116,16 +119,6 @@ class PytreeCheckpointer:
         self._ckptr.wait_until_finished()
 
     def restore(self, template, which: str = "best"):
-        if which == "best":
-            path = os.path.join(self.ckpt_dir, "checkpoint_best")
-        elif which == "latest":
-            cands = sorted(
-                d for d in os.listdir(self.ckpt_dir)
-                if d.startswith("checkpoint_iter"))
-            if not cands:
-                raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
-            path = os.path.join(self.ckpt_dir, cands[-1])
-        else:
-            path = which
         return self._ckptr.restore(
-            path, jax.tree_util.tree_map(lambda x: x, template))
+            _resolve_ckpt_path(self.ckpt_dir, which),
+            jax.tree_util.tree_map(lambda x: x, template))

@@ -85,6 +85,32 @@ def supervised_losses(logprobs, pred_params, y, gt_params, null_id: int = 0):
     return op_loss, param_loss
 
 
+def discrete_param_loss(bin_logp, y, gt_params, opcfg, num: int = 10):
+    """Bin cross-entropy for the discrete parameter mode (new — the
+    reference's op_param_classifier has NO training loss in-repo: the MSE
+    on the gathered grid value has zero gradient to the bin logits, so its
+    discrete heads could never learn). Target = nearest grid bin of the gt
+    scalar under the gt op; masked to discrete-capable ops with a nonzero
+    gt param, normalized like the reference's param MSE.
+
+    bin_logp (B, S, N_OPS, num); y (B, T); gt_params (B, S, 24).
+    """
+    from t2onet_tpu.ops import bank
+
+    s = bin_logp.shape[1]
+    ops = y[:, 1:1 + s]                                    # gt op per step
+    exec_idx = ops - bank.VOCAB_OFFSET
+    gt_scalar = gt_params[..., 0]
+    bins, sup = bank.gt_param_bins(gt_scalar, exec_idx, opcfg, num)
+    safe_idx = jnp.clip(exec_idx, 0, bank.N_OPS - 1)
+    lp_op = jnp.take_along_axis(
+        bin_logp, safe_idx[:, :, None, None].astype(jnp.int32),
+        axis=2).squeeze(2)                                 # (B, S, num)
+    lp = jnp.take_along_axis(lp_op, bins[:, :, None], axis=2).squeeze(2)
+    mask = (sup & (gt_scalar != 0)).astype(lp.dtype)
+    return -(lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
 def episode_l1_loss(imgs, ops, gt_img, end_id: int = 2):
     """Mean L1 between the <END>-selected rollout image and gt
     (reference train_seq2seqL1.py:79-85)."""
@@ -106,16 +132,25 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
     (see Actor.supervised).
     """
 
+    discrete = actor.cfg.discrete_param
+
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
-            (pi, pred_params, logprobs), updates = actor.apply(
+            out, updates = actor.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["y"], batch["img_x"], batch["img_y"],
                 train=True, per_step_bn=per_step_bn,
                 mutable=["batch_stats"],
                 method=Actor.supervised)
+            pi, pred_params, logprobs = out[:3]
             op_loss, param_loss = supervised_losses(
                 logprobs, pred_params, batch["y"], batch["gt_params"])
+            if discrete:
+                # the MSE above carries no gradient into the bin logits;
+                # the bin CE is what trains the discrete heads
+                param_loss = param_loss + discrete_param_loss(
+                    out[3], batch["y"], batch["gt_params"], actor.opcfg,
+                    actor.cfg.discrete_step)
             return op_loss + param_loss, (op_loss, param_loss,
                                           updates["batch_stats"])
 

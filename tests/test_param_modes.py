@@ -151,3 +151,84 @@ def test_episode_param_noise_runs_in_range():
     assert params[..., 0].min() >= lb.min() - 1e-5
     # noise changed something vs the clean rollout
     assert np.abs(params - np.asarray(clean["params"])).max() > 1e-5
+
+
+def test_gt_param_bins_nearest():
+    bins, sup = bank.gt_param_bins(
+        jnp.asarray([0.45, -1.9, 0.0]), jnp.asarray([0, 0, -3]), CFG, 10)
+    grid, _ = bank.discrete_param_grid(CFG, 10)
+    assert np.isclose(grid[0][int(bins[0])], 0.4)   # nearest to 0.45
+    assert np.isclose(grid[0][int(bins[1])], -2.0)  # nearest to -1.9
+    assert bool(sup[0]) and bool(sup[1])
+    assert not bool(sup[2])                         # special token
+
+
+def test_discrete_supervised_step_trains_heads():
+    """--discrete_param training must move the bin logits (the reference's
+    discrete mode has no gradient path; ours adds a bin cross-entropy)."""
+    import jax.numpy as jnp
+
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.train.loop import (create_train_state,
+                                       make_supervised_step,
+                                       discrete_param_loss)
+
+    actor, variables, x, img = _tiny_actor(discrete=True)
+    state = create_train_state(actor, jax.random.PRNGKey(0), x, img)
+    t = 4
+    b = x.shape[0]
+    batch = {
+        "x": x,
+        "y": jnp.tile(jnp.asarray([[1, 3, 4, 2]], jnp.int32), (b, 1)),
+        "img_x": img,
+        "img_y": jnp.repeat(img[:, None], t - 1, axis=1),
+        "gt_params": jnp.zeros((b, t - 2, 24)).at[:, 0, 0].set(0.4)
+                                              .at[:, 1, 0].set(-0.6),
+    }
+    # supervised returns the bin log-probs as a 4th element
+    out = actor.apply(variables, batch["x"], batch["y"], batch["img_x"],
+                      batch["img_y"], train=False, method=Actor.supervised)
+    assert len(out) == 4
+    ce0 = float(discrete_param_loss(out[3], batch["y"], batch["gt_params"],
+                                    CFG, 10))
+    assert np.isfinite(ce0) and ce0 > 0
+
+    step = make_supervised_step(actor, donate=False)
+    w2_before = np.asarray(state.params["heads"]["w2"])
+    for _ in range(8):
+        state, m = step(state, batch)
+    w2_after = np.asarray(state.params["heads"]["w2"])
+    # brightness (op 0) is discrete-capable: its head weights must move
+    assert np.abs(w2_after[0] - w2_before[0]).max() > 1e-6
+    out2 = actor.apply({"params": state.params,
+                        "batch_stats": state.batch_stats},
+                       batch["x"], batch["y"], batch["img_x"],
+                       batch["img_y"], train=False, method=Actor.supervised)
+    ce1 = float(discrete_param_loss(out2[3], batch["y"], batch["gt_params"],
+                                    CFG, 10))
+    assert ce1 < ce0                      # the bin CE actually decreases
+
+
+def test_disc_planner_score_candidate_independent():
+    """Eval-mode disc scoring: a candidate's score must not depend on the
+    other candidates in the fitting batch (train-mode BN would couple
+    them)."""
+    from t2onet_tpu.models.gan import (MultiscaleDiscriminator,
+                                       make_disc_planner_score)
+
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    v = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 16, 16)),
+                  jnp.zeros((1, 512)))
+
+    def disc_apply(x6, cond):
+        return disc.apply(v, x6, cond, train=False)
+
+    score_fn = make_disc_planner_score(disc_apply)
+    rng = np.random.default_rng(0)
+    outs = jnp.asarray(rng.uniform(0, 1, (1, 3, 3, 16, 16)).astype(np.float32))
+    i0 = jnp.asarray(rng.uniform(0, 1, (1, 3, 16, 16)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, 512)).astype(np.float32))
+    together = np.asarray(score_fn(outs, (i0, cond)))
+    alone = [float(score_fn(outs[:, k:k + 1], (i0, cond))[0, 0])
+             for k in range(3)]
+    np.testing.assert_allclose(together[0], alone, atol=1e-6)
