@@ -111,8 +111,14 @@ def resolve_run_dir(a) -> str:
     return run_dir
 
 
-def build_dataset_and_vocab(a, phase: str = "train"):
-    """Returns (dataset, vocab2id, id2op_vocab, word2vec or None)."""
+def build_dataset_and_vocab(a, phase: str = "train",
+                            eval_img_mode: str = "native"):
+    """Returns (dataset, vocab2id, id2op_vocab, word2vec or None).
+
+    eval_img_mode (val/test phases only): 'native' keeps the reference's
+    short-side-600 variable-shape images (batch_size must be 1 — shapes
+    differ per sample); 'train_size' loads square train-resolution images
+    so in-training validation can batch under one compiled shape."""
     if a.synthetic:
         from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
 
@@ -130,14 +136,24 @@ def build_dataset_and_vocab(a, phase: str = "train"):
     vocab_dir = os.path.join(a.data_dir, "language")
     vocab2id, _, _, id2op = load_vocab(vocab_dir, a.dataset, a.session)
     if a.dataset == "GIER":
-        from t2onet_tpu.data.gier import GIERDatasetAct
+        from t2onet_tpu.data.gier import GIERDataset, GIERDatasetAct
 
-        act_dir = a.act_dir or f"output/GIER_actions_set_{a.action_id}"
-        ds = GIERDatasetAct(
-            os.path.join(a.data_dir, "GIER"), vocab_dir, act_dir, phase,
-            data_mode=getattr(a, "data_mode", "global"),
-            is_load_mask=bool(getattr(a, "is_load_mask", 0)),
-            session=a.session, train_img_size=a.img_size)
+        if phase == "train":
+            act_dir = a.act_dir or f"output/GIER_actions_set_{a.action_id}"
+            ds = GIERDatasetAct(
+                os.path.join(a.data_dir, "GIER"), vocab_dir, act_dir, phase,
+                data_mode=getattr(a, "data_mode", "global"),
+                is_load_mask=bool(getattr(a, "is_load_mask", 0)),
+                session=a.session, train_img_size=a.img_size)
+        else:
+            # planner actions exist for train only — val/test evaluate on
+            # plain request/pair items (reference test_GIER_seq2seqL1.py
+            # builds the non-Act dataset for eval)
+            ds = GIERDataset(
+                os.path.join(a.data_dir, "GIER"), vocab_dir, phase,
+                data_mode=getattr(a, "data_mode", "global"),
+                is_load_mask=False, session=a.session,
+                train_img_size=a.img_size, eval_img_mode=eval_img_mode)
     else:
         from t2onet_tpu.data.fivek import FiveK, FiveKAct
 
@@ -150,7 +166,8 @@ def build_dataset_and_vocab(a, phase: str = "train"):
             ds = FiveKAct(img_dir, anno_dir, act_dir, phase, a.session,
                           a.img_size, op_max_len=a.decoder_max_len)
         else:
-            ds = FiveK(img_dir, anno_dir, phase, a.session, a.img_size)
+            ds = FiveK(img_dir, anno_dir, phase, a.session, a.img_size,
+                       eval_img_mode=eval_img_mode)
     glove_path = os.path.join(
         vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
     w2v = load_embedding(glove_path) if os.path.exists(glove_path) else None

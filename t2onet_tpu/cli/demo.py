@@ -66,12 +66,7 @@ def main(argv=None):
     save_img(img[0], os.path.join(out_dir, "input.jpg"))
     ops = np.asarray(out["ops"][0])
     steps = []
-    id2name = {v: k for k, v in
-               {"brightness": 3, "contrast": 4, "saturation": 5, "hue": 6,
-                "inpaint_obj": 7, "tint": 8, "sharpness": 9,
-                "color_bg": 10}.items()}
-    exec_names = ["brightness", "contrast", "saturation", "color", "inpaint",
-                  "tone", "sharpness", "white"]
+    from t2onet_tpu.ops.operators import OP_NAMES as exec_names
     for i, op in enumerate(ops):
         save_img(np.asarray(out["imgs"][0, i]),
                  os.path.join(out_dir, f"step{i}.jpg"))

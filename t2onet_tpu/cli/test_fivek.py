@@ -44,7 +44,13 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
         webpage = HTML(os.path.join(run_dir, "test", "web"),
                        f"inference result trial {a.trial}")
     for i in range(len(ds)):
-        img_x, img_y, req_idx, req = ds[i]
+        item = ds[i]
+        if isinstance(item, dict):          # GIERDataset items
+            img_x, img_y = item["input"], item["output"]
+            req_idx = np.asarray(item["request_idx"])
+            req = item["request"]
+        else:                               # FiveK tuples
+            img_x, img_y, req_idx, req = item
         padded, valid_hw = pad_to_bucket(img_x, quantum)
         x = jnp.asarray(req_idx.astype(np.int32))[None]
         pred, out = eval_fn(state, {"x": x, "img_x": jnp.asarray(padded)[None]})
@@ -132,10 +138,13 @@ def main(argv=None):
 
     ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "test")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
-    sample = next(ds.batches(2, 1, shuffle=False))
+    # state init needs only array SHAPES — fixed synthetic-like dummies
+    # (real test sets hold variable-shape native-res images that can't
+    # batch; the actual eval shapes come from the bucketed rollout)
     state = create_train_state(
         actor, jax.random.PRNGKey(a.manual_seed),
-        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]))
+        jnp.zeros((2, a.encoder_max_len), jnp.int32),
+        jnp.zeros((2, 3, a.img_size, a.img_size)))
     ckpt_dir = os.path.join(run_dir, a.ckpt_name)
     if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")) or \
             a.checkpoint not in ("best", "latest"):

@@ -8,7 +8,7 @@ from __future__ import annotations
 import sys
 
 from t2onet_tpu.cli import test_fivek
-from t2onet_tpu.cli.train_gier import _patch_parser
+from t2onet_tpu.cli.train_gier import _has_flag, _patch_parser
 
 
 def main(argv=None):
@@ -19,9 +19,9 @@ def main(argv=None):
         "--decoder_max_len": "8",
     }
     for flag, val in defaults.items():
-        if flag not in argv:
+        if not _has_flag(argv, flag):
             argv += [flag, val]
-    if "--data_mode" not in argv:
+    if not _has_flag(argv, "--data_mode"):
         argv += ["--data_mode", "global+shapeAlign"]
     _patch_parser()
     test_fivek.main(argv)

@@ -65,7 +65,7 @@ def main(argv=None):
     run_dir = common.resolve_run_dir(a)
 
     train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
-    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val")
+    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val", eval_img_mode="train_size")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
 
     sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))

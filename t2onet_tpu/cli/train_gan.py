@@ -106,6 +106,20 @@ class DiscBundle:
         return {"cond": cu["batch_stats"], "disc": du["batch_stats"]}
 
 
+def last_valid_teacher(img_y):
+    """Last non-black intermediate planner edit per sample — the AdaptGAN
+    pseudo-real (reference seq2seqAdaptGAN.py:85-111). FiveKAct zero-pads
+    the teacher images past the trajectory truncation point, so a fixed
+    slot like img_y[:, -2] would feed black frames to D_real."""
+    inter = img_y[:, :-1]                              # drop the gt slot
+    valid = jnp.abs(inter).sum(axis=(2, 3, 4)) > 0     # (B, T-2)
+    t = valid.shape[1]
+    idx = t - 1 - jnp.argmax(valid[:, ::-1].astype(jnp.int32), axis=1)
+    idx = jnp.where(valid.any(axis=1), idx, 0)
+    return jnp.take_along_axis(
+        inter, idx[:, None, None, None, None], axis=1)[:, 0]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     common.add_base_args(p)
@@ -122,7 +136,7 @@ def main(argv=None):
     run_dir = common.resolve_run_dir(a)
 
     train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
-    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val")
+    val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val", eval_img_mode="train_size")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
 
     sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))
@@ -169,7 +183,7 @@ def main(argv=None):
                                      None, enc_h, train=True)
             ld = losses(bundle.disc_apply(gan.d_params, gan.d_batch_stats),
                         batch["img_x"], fake, batch["gt_img"], cond,
-                        pseudo_real=batch.get("pseudo_real"))
+                        pseudo_real=batch.get("pseudo_real"), parts="g")
             g = ld["G_GAN"] + ld["G_GAN_Feat"] + ld["G_VGG"]
             return g, (ld, fake, new_bs)
 
@@ -184,7 +198,7 @@ def main(argv=None):
             ld2 = losses(bundle.disc_apply(d_params, gan.d_batch_stats),
                          batch["img_x"], jax.lax.stop_gradient(fake),
                          batch["gt_img"], cond,
-                         pseudo_real=batch.get("pseudo_real"))
+                         pseudo_real=batch.get("pseudo_real"), parts="d")
             return 0.5 * (ld2["D_fake"] + ld2["D_real"]), ld2
 
         (d_total, ld2), d_grads = jax.value_and_grad(
@@ -226,7 +240,7 @@ def main(argv=None):
             gb = {"x": jb["x"], "img_x": jb["img_x"],
                   "gt_img": jb["img_y"][:, -1]}
             if a.adapt_pseudo_real:
-                gb["pseudo_real"] = jb["img_y"][:, -2]
+                gb["pseudo_real"] = last_valid_teacher(jb["img_y"])
             state, gan, m = gan_step(state, gan, gb, sub)
         if itr % a.print_every == 0:
             dt = (time.time() - tik) / a.print_every

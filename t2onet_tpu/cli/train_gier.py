@@ -13,6 +13,11 @@ import sys
 from t2onet_tpu.cli import train_fivek
 
 
+def _has_flag(argv, flag):
+    """True if argv sets `flag`, in either '--f v' or '--f=v' form."""
+    return any(s == flag or s.startswith(flag + "=") for s in argv)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     defaults = {
@@ -22,10 +27,10 @@ def main(argv=None):
         "--decoder_max_len": "8",
     }
     for flag, val in defaults.items():
-        if flag not in argv:
+        if not _has_flag(argv, flag):
             argv += [flag, val]
     # GIER-specific knobs consumed by common.build_dataset_and_vocab
-    if "--data_mode" not in argv:
+    if not _has_flag(argv, "--data_mode"):
         argv += ["--data_mode", "global+shapeAlign"]
     _patch_parser()
     train_fivek.main(argv)

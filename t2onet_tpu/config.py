@@ -90,7 +90,12 @@ class TrainConfig:
     checkpoint_every: int = 1000
     train_img_size: int = 128
     seed: int = 10
-    # loss weights (lam1 op/param supervised, lam2 episode L1)
+    # Declared-but-unused loss weights, kept for config parity: the
+    # reference defines lam1/lam2 in every train-options file
+    # (fiveK_train_options.py:21-22) but its trainers never apply them —
+    # train_seq2seqL1.py:61 is a plain `op_loss + param_loss` and the
+    # episode phase a plain L1. train/loop.py matches that actual
+    # behavior; wiring these in would deviate from the reference runs.
     lam1: float = 1.0
     lam2: float = 5.0
 

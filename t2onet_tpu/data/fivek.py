@@ -20,11 +20,15 @@ import numpy as np
 from t2onet_tpu.ops import bank
 from t2onet_tpu.data.text import START_ID, END_ID
 
-# Planner op-name order == executor order (reference FiveKdataset.py:78-79).
-ACTIONS = ["brightness", "contrast", "saturation", "color", "inpaint",
-           "tone", "sharpness", "white"]
-ACT2PN = {"brightness": 1, "contrast": 1, "saturation": 1, "color": 24,
-          "inpaint": 0, "tone": 8, "sharpness": 1, "white": 0}
+# Planner op-name order == executor order (reference FiveKdataset.py:78-79);
+# single source of truth: ops.operators.OP_NAMES. ACT2PN counts the params
+# meaningful to SERIALIZE (the reference trims inpaint/white pseudo-params
+# to zero length in planner JSONs and demo output).
+from t2onet_tpu.ops.operators import OP_NAMES as _OP_NAMES
+
+ACTIONS = list(_OP_NAMES)
+SERIALIZE_PARAM_COUNTS = (1, 1, 1, 24, 0, 8, 1, 0)
+ACT2PN = dict(zip(_OP_NAMES, SERIALIZE_PARAM_COUNTS))
 
 
 def load_train_img(path: str, img_size: int) -> np.ndarray:
@@ -92,11 +96,18 @@ class FiveK:
 
     def __init__(self, img_dir: str, anno_dir: str, phase: str,
                  session: int = 1, train_img_size: int = 128,
-                 req_max_len: int = 15):
+                 req_max_len: int = 15, eval_img_mode: str = "native"):
+        """eval_img_mode: 'native' loads val/test images short-side-600 at
+        their own aspect ratios (the reference's bs=1 eval protocol,
+        visual_utils.py:34-47) — batches() then requires batch_size 1;
+        'train_size' loads them square at train_img_size so in-training
+        validation can batch under one compiled shape (final metrics still
+        come from the native-res bucketed path in cli/test_fivek)."""
         self.img_dir = img_dir
         self.phase = phase
         self.train_img_size = train_img_size
         self.req_max_len = req_max_len
+        self.eval_img_mode = eval_img_mode
         with open(os.path.join(anno_dir, f"{phase}_sess_{session}.json")) as f:
             self.data = json.load(f)
 
@@ -105,7 +116,7 @@ class FiveK:
 
     def _load(self, name: str) -> np.ndarray:
         path = os.path.join(self.img_dir, name)
-        if self.phase == "train":
+        if self.phase == "train" or self.eval_img_mode == "train_size":
             return load_train_img(path, self.train_img_size)
         return load_infer_img_short_size_bounded(path, 600)
 

@@ -40,8 +40,12 @@ class GIER:
 
     def __init__(self, data_dir: str, vocab_dir: str, phase: str,
                  data_mode: str = "global", is_load_mask: bool = False,
-                 session: int = 3, train_img_size: int = 128):
+                 session: int = 3, train_img_size: int = 128,
+                 eval_img_mode: str = "native"):
         self.op_max_len = 10
+        # 'train_size': square train-resolution val/test images (batched
+        # in-training validation); 'native': the reference's short-side-600
+        self.eval_img_mode = eval_img_mode
         self.req_max_len = 15
         self.session = session
         self.phase = phase
@@ -146,6 +150,10 @@ class GIER:
         from t2onet_tpu import native
 
         h, w = size
+        # '{name}_{name}_mask.json' equals load_mask's '<input-stem>_mask
+        # .json': every GIER input is named '{id}_{id}.jpg' (verified over
+        # all sess-3 splits), matching the reference's two spellings
+        # (GIER.py:268 vs 298)
         with open(os.path.join(self.mask_dir,
                                f"{name}_{name}_mask.json")) as f:
             rles = json.load(f)
@@ -175,7 +183,7 @@ class GIER:
         import cv2
 
         path = os.path.join(self.img_dir, name)
-        if self.phase == "train":
+        if self.phase == "train" or self.eval_img_mode == "train_size":
             return load_train_img(path, self.train_img_size)
         if like_hw is None:
             return load_infer_img_short_size_bounded(path)
@@ -242,10 +250,12 @@ class GIERDataset:
     """Request-level dataset (reference GIERdataset.py:19-76)."""
 
     def __init__(self, data_dir, vocab_dir, phase, data_mode="global",
-                 is_load_mask=False, session=3, train_img_size=128):
+                 is_load_mask=False, session=3, train_img_size=128,
+                 eval_img_mode="native"):
         self.op_max_len = 8
         self.GIER = GIER(data_dir, vocab_dir, phase, data_mode,
-                         is_load_mask, session, train_img_size)
+                         is_load_mask, session, train_img_size,
+                         eval_img_mode=eval_img_mode)
         self.vocab2id = self.GIER.vocab2id
         self.id2op_vocab = self.GIER.id2op_vocab
 
@@ -268,6 +278,31 @@ class GIERDataset:
             else:
                 blob[key] = np.stack([np.asarray(b[key]) for b in batch])
         return blob
+
+    def batches(self, batch_size: int, steps: int, shuffle: bool = True,
+                seed: int = 0):
+        """Eval-shaped batches (no planner actions): img_y gets a single
+        step axis so consumers take img_y[:, -1] as ground truth, matching
+        data.fivek.FiveK.batches. Requires fixed image shapes
+        (phase='train' or eval_img_mode='train_size')."""
+        rng = np.random.default_rng(seed)
+        idxs = np.arange(len(self))
+        i = len(self)
+        for _ in range(steps):
+            if i + batch_size > len(self):
+                i = 0
+                if shuffle:
+                    rng.shuffle(idxs)
+            sel = idxs[i:i + batch_size]
+            i += batch_size
+            items = [self[int(j)] for j in sel]
+            yield {
+                "img_x": np.stack([it["input"] for it in items]),
+                "img_y": np.stack([it["output"] for it in items])[:, None],
+                "x": np.stack([it["request_idx"] for it in items]
+                              ).astype(np.int32),
+                "req": [it["request"] for it in items],
+            }
 
 
 class GIERDatasetAct(GIERDataset):

@@ -320,14 +320,16 @@ class Actor(nn.Module):
 
     # ------------------------------------------------------------------
     def rl_step(self, x, img_x, carry, op, rng, train: bool = False,
-                masks=None, param_noise: float = 0.0):
+                masks=None, param_noise: float = 0.0, op_mask=None):
         """Single RL step (reference actor.py:286-354 `forward`): decode one
         op from the previous op + current image, sample under the hard op
         mask, execute, and re-decode for the next context. param_noise > 0
         adds range-scaled exploration noise to the predicted parameters
-        (the reference's has_noise path, operators.py:113-121). Returns
-        (pred_img, op_logprob, entropy_penalty, context, next_context,
-        new_carry, pred_op)."""
+        (the reference's has_noise path, operators.py:113-121). Thread
+        `op_mask` (returned updated) across chained calls to keep the
+        no-repeat constraint episode() enforces; None starts a fresh
+        episode mask. Returns (pred_img, op_logprob, entropy_penalty,
+        context, next_context, new_carry, pred_op, new_op_mask)."""
         b = x.shape[0]
         enc_out, enc_hidden, enc_valid = jax.lax.stop_gradient(
             self.lang_encoder(x))                   # no_grad (actor.py:299)
@@ -336,8 +338,9 @@ class Actor(nn.Module):
                                                   enc_valid, feat)
         entropy_penalty = get_entropy_penalty(logprob)
         probs = jnp.exp(logprob) * (1.0 - self.explore_prob) + self.explore_prob
-        op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
-                                   (b, self.cfg.op_vocab_size))
+        if op_mask is None:
+            op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
+                                       (b, self.cfg.op_vocab_size))
         probs = probs * op_mask
         probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
         rng, op_rng = jax.random.split(rng)
@@ -363,8 +366,10 @@ class Actor(nn.Module):
         feat2 = self.vis_feat(pred_img, train)
         _, _, _, next_context = self.decoder(pred_op, carry, enc_out,
                                              enc_valid, feat2)
+        new_op_mask = op_mask * (1.0 - jax.nn.one_hot(
+            pred_op, self.cfg.op_vocab_size, dtype=op_mask.dtype))
         return (pred_img, logprob, entropy_penalty, context, next_context,
-                carry, pred_op)
+                carry, pred_op, new_op_mask)
 
 
 def get_entropy_penalty(logprobs):

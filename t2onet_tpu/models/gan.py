@@ -175,34 +175,48 @@ class Seq2SeqGANLosses:
         self.perceptual_fn = perceptual_fn
 
     def __call__(self, disc_apply, src_img, fake_img, trg_img, cond,
-                 pseudo_real: Optional[jax.Array] = None):
+                 pseudo_real: Optional[jax.Array] = None,
+                 parts: str = "all"):
         """Returns dict(G_GAN, G_GAN_Feat, G_VGG, D_real, D_fake).
 
         disc_apply(x (B,6,H,W), cond) -> list of per-scale feature lists.
         pseudo_real: optional planner image used as an extra real
         (the AdaptGAN variant, seq2seqAdaptGAN.py:85-111).
+        parts: 'all', 'g' (G_* only — skips the detached-fake D pass), or
+        'd' (D_* only — skips the gradient-carrying fake pass). The G and
+        D updates each need only their half; computing both in both loss
+        closures would run the multiscale discriminator ~2x more than
+        necessary per GAN iteration. Unneeded entries are zeros.
         """
-        fake_detached = jax.lax.stop_gradient(fake_img)
-        pred_fake_pool = disc_apply(
-            jnp.concatenate([src_img, fake_detached], axis=1), cond)
-        d_fake = gan_loss(pred_fake_pool, False, self.use_lsgan)
-        pred_real = disc_apply(
-            jnp.concatenate([src_img, trg_img], axis=1), cond)
-        d_real = gan_loss(pred_real, True, self.use_lsgan)
-        if pseudo_real is not None:
-            pred_pseudo = disc_apply(
-                jnp.concatenate([src_img, pseudo_real], axis=1), cond)
-            d_real = 0.5 * (d_real + gan_loss(pred_pseudo, True,
-                                              self.use_lsgan))
-        pred_fake = disc_apply(
-            jnp.concatenate([src_img, fake_img], axis=1),
-            jax.lax.stop_gradient(cond))
-        g_gan = gan_loss(pred_fake, True, self.use_lsgan)
-        g_feat = (feature_matching_loss(pred_fake, pred_real, self.n_layers,
-                                        self.num_D, self.lambda_feat)
-                  if self.use_gan_feat else jnp.zeros(()))
-        g_vgg = (self.perceptual_fn(fake_img, trg_img) * self.lambda_feat
-                 if self.perceptual_fn is not None else jnp.zeros(()))
+        z = jnp.zeros(())
+        d_fake = d_real = g_gan = g_feat = g_vgg = z
+        pred_real = None
+        if parts in ("all", "d"):
+            fake_detached = jax.lax.stop_gradient(fake_img)
+            pred_fake_pool = disc_apply(
+                jnp.concatenate([src_img, fake_detached], axis=1), cond)
+            d_fake = gan_loss(pred_fake_pool, False, self.use_lsgan)
+        if parts in ("all", "d") or self.use_gan_feat:
+            pred_real = disc_apply(
+                jnp.concatenate([src_img, trg_img], axis=1), cond)
+        if parts in ("all", "d"):
+            d_real = gan_loss(pred_real, True, self.use_lsgan)
+            if pseudo_real is not None:
+                pred_pseudo = disc_apply(
+                    jnp.concatenate([src_img, pseudo_real], axis=1), cond)
+                d_real = 0.5 * (d_real + gan_loss(pred_pseudo, True,
+                                                  self.use_lsgan))
+        if parts in ("all", "g"):
+            pred_fake = disc_apply(
+                jnp.concatenate([src_img, fake_img], axis=1),
+                jax.lax.stop_gradient(cond))
+            g_gan = gan_loss(pred_fake, True, self.use_lsgan)
+            g_feat = (feature_matching_loss(pred_fake, pred_real,
+                                            self.n_layers, self.num_D,
+                                            self.lambda_feat)
+                      if self.use_gan_feat else z)
+            g_vgg = (self.perceptual_fn(fake_img, trg_img) * self.lambda_feat
+                     if self.perceptual_fn is not None else z)
         return {"G_GAN": g_gan, "G_GAN_Feat": g_feat, "G_VGG": g_vgg,
                 "D_real": d_real, "D_fake": d_fake}
 

@@ -154,9 +154,15 @@ def add_param_noise(params: jax.Array, rng, cfg,
                     factor: float = 0.6) -> jax.Array:
     """Exploration noise on predicted parameters (the reference's
     `has_noise` path, operators.py:57-60, 113-121): standard-normal noise
-    scaled asymmetrically so +/-3 sigma spans `factor` of each op's
-    (initial..ub) / (lb..initial) range, then clamped to [lb, ub].
+    scaled asymmetrically so +3 sigma spans `factor` of (initial..ub) and
+    -3 sigma spans `factor` of (lb..initial), then clamped to [lb, ub].
     Padding columns stay zero.
+
+    Sign fix vs the reference: operators.py:59 ADDS both relu terms, so
+    its noise is non-negative for every draw — exploration could only ever
+    push parameters up. Both terms' magnitudes and the /3*factor scaling
+    are kept; the negative branch gets the sign its own docstring ("3 tau
+    spans factor of value range", fiveK_train_options.py:56) implies.
 
     :param params: (B, N_OPS, 24) squashed per-op params.
     :param factor: reference param_noise_factor default 0.6
@@ -168,7 +174,7 @@ def add_param_noise(params: jax.Array, rng, cfg,
     init = jnp.asarray(initial)[None, :, None]
     n = jax.random.normal(rng, params.shape, params.dtype)
     scaled = (jax.nn.relu(n) * (ub - init)
-              + jax.nn.relu(-n) * (init - lb)) / 3.0 * factor
+              - jax.nn.relu(-n) * (init - lb)) / 3.0 * factor
     noised = jnp.clip(params + scaled, lb, ub)
     valid = jnp.asarray(_param_valid_mask())[None]
     return jnp.where(valid > 0, noised, params)

@@ -43,8 +43,7 @@ from t2onet_tpu.ops.bank import MAX_PARAM
 
 END_ID = 2
 
-EXEC_NAMES = ["brightness", "contrast", "saturation", "color", "inpaint",
-              "tone", "sharpness", "white"]
+from t2onet_tpu.ops.operators import OP_NAMES as EXEC_NAMES  # executor order
 
 
 def program_slots(ops):
