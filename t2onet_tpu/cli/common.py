@@ -75,6 +75,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint_every", type=int, default=1000)
     p.add_argument("--val_batches", type=int, default=8)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--max_keep_ckpts", type=int, default=0,
+                   help="prune all but the newest N step checkpoints "
+                        "(0 keeps everything, the reference behavior)")
     return p
 
 

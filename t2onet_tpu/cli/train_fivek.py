@@ -81,7 +81,8 @@ def main(argv=None):
         mesh = make_mesh()
         print(f"data-parallel over {len(mesh.devices.ravel())} devices")
 
-    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqL1_model"))
+    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqL1_model"),
+                             max_to_keep=a.max_keep_ckpts or None)
     if a.resume:
         state = ckpt.restore(state, "latest")
         print(f"resumed from iter {int(state.step)}")

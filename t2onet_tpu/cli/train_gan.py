@@ -219,7 +219,8 @@ def main(argv=None):
                    "D_real": ld2["D_real"], "D_fake": ld2["D_fake"]}
         return state, gan, metrics
 
-    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"))
+    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"),
+                             max_to_keep=a.max_keep_ckpts or None)
     # the discriminator rides along (the planner's 'seq2seqGAN-disc'
     # distance restores it — cli/plan_fivek.py --dist_type seq2seqGAN-disc)
     d_ckpt = PytreeCheckpointer(os.path.join(run_dir, "seq2seqGAN_model",

@@ -60,7 +60,8 @@ def main(argv=None):
         mesh = make_mesh()
         print(f"data-parallel over {len(mesh.devices.ravel())} devices")
 
-    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqRL_model"))
+    ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqRL_model"),
+                             max_to_keep=a.max_keep_ckpts or None)
     if a.resume:
         state = ckpt.restore(state, "latest")
         print(f"resumed from iter {int(state.step)}")

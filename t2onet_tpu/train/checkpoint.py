@@ -30,9 +30,25 @@ def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str:
     return which
 
 
+def _prune_old(ckpt_dir: str, max_to_keep: Optional[int]):
+    """Drop the oldest checkpoint_iter* dirs beyond max_to_keep
+    (checkpoint_best is never pruned)."""
+    if not max_to_keep:
+        return
+    import shutil
+
+    cands = sorted(d for d in os.listdir(ckpt_dir)
+                   if d.startswith("checkpoint_iter"))
+    for d in cands[:-max_to_keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str):
+    def __init__(self, ckpt_dir: str, max_to_keep: Optional[int] = None):
+        """max_to_keep: prune all but the newest N step checkpoints
+        (default None keeps everything — the reference's behavior)."""
         self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.max_to_keep = max_to_keep
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.stats: Dict[str, Any] = {
@@ -82,6 +98,7 @@ class CheckpointManager:
         # StandardCheckpointer commits asynchronously; block so a process
         # exiting right after save can't truncate the checkpoint
         self._ckptr.wait_until_finished()
+        _prune_old(self.ckpt_dir, self.max_to_keep)
         self._save_stats()
         return is_best
 
@@ -105,8 +122,9 @@ class PytreeCheckpointer:
     model.pth: load_seq2seqgan_disc restores the whole Pix2PixHDModel,
     beam_search.py:52-63)."""
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(self, ckpt_dir: str, max_to_keep: Optional[int] = None):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.max_to_keep = max_to_keep
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
@@ -117,6 +135,7 @@ class PytreeCheckpointer:
             self._ckptr.save(os.path.join(self.ckpt_dir, "checkpoint_best"),
                              tree, force=True)
         self._ckptr.wait_until_finished()
+        _prune_old(self.ckpt_dir, self.max_to_keep)
 
     def restore(self, template, which: str = "best"):
         return self._ckptr.restore(

@@ -44,3 +44,24 @@ def test_save_restore_best_and_latest(tmp_path):
     # a fresh manager on the same dir reloads stats (resume path)
     cm2 = CheckpointManager(str(tmp_path / "ckpt"))
     assert cm2.stats["best_iter"] == 10
+
+
+def test_max_to_keep_prunes_old_checkpoints(tmp_path):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from t2onet_tpu.train.checkpoint import PytreeCheckpointer
+
+    ck = PytreeCheckpointer(str(tmp_path / "ck"), max_to_keep=2)
+    tree = {"w": jnp.ones((2,))}
+    for itr in [1, 2, 3, 4]:
+        ck.save(tree, itr, best=(itr == 2))
+    kept = sorted(d for d in os.listdir(tmp_path / "ck")
+                  if d.startswith("checkpoint_iter"))
+    assert kept == ["checkpoint_iter00000003", "checkpoint_iter00000004"]
+    # best copy survives pruning
+    assert (tmp_path / "ck" / "checkpoint_best").exists()
+    restored = ck.restore({"w": jnp.zeros((2,))}, which="latest")
+    assert jax.numpy.allclose(restored["w"], 1.0)
