@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--dist_type", default="l1",
                    help="l1 / l2 pixel distance (reference 'L1'/'L2')")
+    p.add_argument("--pair_batch", type=int, default=1,
+                   help=">1: lockstep-batch pairs (incl. their local-edit "
+                        "masks) into one device fit per step")
     a = p.parse_args(argv)
     a.dataset = "GIER"
     if a.session == 1:
@@ -59,30 +62,11 @@ def main(argv=None):
                 is_load_mask=True, session=a.session,
                 train_img_size=a.img_size)
 
-    avg_time, n = 0.0, 0
-    for pair_id in range(a.start, len(gier)):
-        if a.limit is not None and n >= a.limit:
-            break
-        tik = time.time()
-        item = gier.get_pair_item(pair_id)
-        img_x = item["input"][None]
-        img_y = item["output"][None]
-        # per-op masks: vocab op id -> executor index (vocab - 3)
-        op_masks = {}
-        for op_vocab_id, mask in item.get("mask_dict", {}).items():
-            op_masks[int(op_vocab_id) - 3] = mask[None].astype(np.float32)
-
-        actions, images = beam_search(
-            img_x, img_y, beam_size=a.beam_size, operations=ALL_OPS,
-            max_step=len(ALL_OPS), err=a.err, mode=a.mode,
-            n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr,
-            seed=pair_id, op_masks=op_masks or None, dist_type=a.dist_type)
-
-        data_id = gier.op_data[pair_id]["input"].split("_")[0]
+    def write_item(data_id, request, img_x, img_y, actions, images):
         item_dir = os.path.join(out_dir, data_id)
         os.makedirs(item_dir, exist_ok=True)
         info = {
-            "request": item["request"],
+            "request": request,
             "init distance": init_distance(img_x, img_y),
             "operation sequence": [[list(x) for x in seq]
                                    for seq in actions],
@@ -92,11 +76,56 @@ def main(argv=None):
         for k, img in enumerate(images[0]):
             save_img(np.asarray(img)[0],
                      os.path.join(item_dir, f"edit{k}.jpg"))
-        n += 1
-        avg_time += (time.time() - tik - avg_time) / n
-        if n % 5 == 0:
-            print(f"planned {n} pairs, avg {avg_time:.2f}s/pair", flush=True)
-    print(f"done: {n} pairs, avg {avg_time:.2f}s/pair")
+
+    def load_pair(pair_id):
+        item = gier.get_pair_item(pair_id)
+        # per-op masks: vocab op id -> executor index (vocab - 3)
+        op_masks = {}
+        for op_vocab_id, mask in item.get("mask_dict", {}).items():
+            op_masks[int(op_vocab_id) - 3] = mask[None].astype(np.float32)
+        data_id = gier.op_data[pair_id]["input"].split("_")[0]
+        return (item["input"][None], item["output"][None], item["request"],
+                op_masks, data_id)
+
+    kw = dict(beam_size=a.beam_size, operations=ALL_OPS,
+              max_step=len(ALL_OPS), err=a.err, mode=a.mode,
+              n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr,
+              dist_type=a.dist_type)
+    pair_ids = range(a.start, len(gier))
+    if a.limit is not None:
+        pair_ids = list(pair_ids)[: a.limit]
+
+    n, t0 = 0, time.time()
+    if a.pair_batch > 1:
+        from t2onet_tpu.planner.beam import batch_beam_search
+
+        buf = []
+        for pair_id in pair_ids:
+            buf.append(load_pair(pair_id))
+            if len(buf) >= a.pair_batch or pair_id == list(pair_ids)[-1]:
+                I0 = np.concatenate([b[0] for b in buf])
+                Igt = np.concatenate([b[1] for b in buf])
+                results = batch_beam_search(
+                    I0, Igt, seed=a.manual_seed,
+                    op_masks=[b[3] for b in buf], **kw)
+                for (actions, images), b in zip(results, buf):
+                    write_item(b[4], b[2], b[0], b[1], actions, images)
+                    n += 1
+                buf = []
+                print(f"planned {n} pairs, "
+                      f"{(time.time() - t0) / max(n, 1):.2f}s/pair",
+                      flush=True)
+    else:
+        for pair_id in pair_ids:
+            img_x, img_y, request, op_masks, data_id = load_pair(pair_id)
+            actions, images = beam_search(
+                img_x, img_y, seed=pair_id, op_masks=op_masks or None, **kw)
+            write_item(data_id, request, img_x, img_y, actions, images)
+            n += 1
+            if n % 5 == 0:
+                print(f"planned {n} pairs, "
+                      f"{(time.time() - t0) / n:.2f}s/pair", flush=True)
+    print(f"done: {n} pairs, {(time.time() - t0) / max(n, 1):.2f}s/pair")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,18 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
     imgs = jnp.asarray(I_buff)
     n_real = imgs.shape[0]
+    masks = None
+    if op_masks:
+        h, w = I_buff.shape[-2:]
+
+        def cand_rows(d):
+            return np.stack([d.get(int(op), np.ones((1, h, w), np.float32))
+                             for op in cand_ops])
+
+        if isinstance(op_masks, dict):          # shared across rows (C,...)
+            masks = jnp.asarray(cand_rows(op_masks))
+        else:                                   # per-row list -> (N, C, ...)
+            masks = jnp.asarray(np.stack([cand_rows(d) for d in op_masks]))
     if mesh is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -55,20 +67,18 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
         if pad:
             imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
             tgt_b = jnp.concatenate([tgt_b, jnp.repeat(tgt_b[-1:], pad, 0)])
+            if masks is not None and masks.ndim == 5:
+                masks = jnp.concatenate(
+                    [masks, jnp.repeat(masks[-1:], pad, 0)])
         bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
         rep = NamedSharding(mesh, P())
         imgs = jax.device_put(imgs, bsh)
         target = jax.device_put(tgt_b, bsh)
         onehot = jax.device_put(onehot, rep)
         init = jax.device_put(init, rep)
-    masks = None
-    if op_masks:
-        h, w = I_buff.shape[-2:]
-        rows = []
-        for op in cand_ops:
-            rows.append(op_masks.get(int(op),
-                                     np.ones((1, h, w), np.float32)))
-        masks = jnp.asarray(np.stack(rows))
+        if masks is not None:
+            masks = jax.device_put(masks,
+                                   bsh if masks.ndim == 5 else rep)
     if score_fn is not None:
         params, dists = F.fit_op_params_scored(
             imgs, onehot, init, score_fn, score_aux,
@@ -239,6 +249,7 @@ def batch_beam_search(
     seed: int = 0,
     dist_type: str = "l1",
     mesh=None,
+    op_masks=None,
 ):
     """Plan MANY pairs in lockstep: one device fit per step covers every
     (pair x beam x op x restart) candidate simultaneously.
@@ -253,6 +264,9 @@ def batch_beam_search(
         every fit shards over its first axis, scaling lockstep planning
         across chips (multi-chip planning in ONE process; the fleet
         launcher cli/plan_fleet.py is the multi-host alternative).
+    :param op_masks: optional per-pair mask conditioning — a list of P
+        dicts {executor_op_idx: (1, H, W) float mask} (the GIER local-edit
+        planner, batched; see beam_search's op_masks).
     :return: list of per-pair (actions, images) like beam_search's.
     """
     rng = np.random.default_rng(seed)
@@ -278,9 +292,13 @@ def batch_beam_search(
         n_beam = I_buff.shape[1]
         flat = I_buff.reshape(p * n_beam, *I_buff.shape[2:])
         tgt = np.repeat(I_gts, n_beam, axis=0)
+        row_masks = None
+        if op_masks is not None:
+            row_masks = [op_masks[pi] for pi in range(p)
+                         for _ in range(n_beam)]
         params, dists, outs, cand_ops = _fit_step(
             flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step,
-            dist_type=dist_type, mesh=mesh)
+            dist_type=dist_type, mesh=mesh, op_masks=row_masks)
         params = params.reshape(p, n_beam, *params.shape[1:])
         dists = dists.reshape(p, n_beam, -1)
         outs = outs.reshape(p, n_beam, *outs.shape[1:])
@@ -333,7 +351,9 @@ def batch_beam_search(
     results = []
     for pi, st in enumerate(states):
         actions = [list(seq) for seq, _ in st["sequences"]]
-        results.append((actions, _replay_images(I_0s[pi:pi + 1], actions)))
+        results.append((actions, _replay_images(
+            I_0s[pi:pi + 1], actions,
+            op_masks[pi] if op_masks is not None else None)))
     return results
 
 

@@ -69,8 +69,10 @@ def candidate_op_slots(op_slots: Sequence[int], n_starts: int) -> np.ndarray:
 def _apply_candidates(imgs, onehot, params, masks=None):
     """imgs (N,3,H,W), onehot (C,9), params (N,C,24) -> out (N,C,3,H,W).
 
-    masks: optional (C, 1, H, W) per-candidate edit masks (GIER local ops);
-    blended per the reference's Operator.execute (operators.py:129)."""
+    masks: optional per-candidate edit masks (GIER local ops), either
+    (C, 1, H, W) shared across rows or (N, C, 1, H, W) per (row,
+    candidate) — the batched masked-planning path; blended per the
+    reference's Operator.execute (operators.py:129)."""
     n, _, h, w = imgs.shape
     c = onehot.shape[0]
     imgs_t = jnp.broadcast_to(imgs[:, None], (n, c, 3, h, w)).reshape(
@@ -80,8 +82,9 @@ def _apply_candidates(imgs, onehot, params, masks=None):
     p = params.reshape(n * c, bank.MAX_PARAM)
     m = None
     if masks is not None:
-        m = jnp.broadcast_to(masks[None], (n, c, 1, h, w)).reshape(
-            n * c, 1, h, w)
+        if masks.ndim == 4:
+            masks = jnp.broadcast_to(masks[None], (n, c, 1, h, w))
+        m = masks.reshape(n * c, 1, h, w)
     out = bank.execute_onehot(imgs_t, oh, p, mask=m)
     return out.reshape(n, c, 3, h, w)
 

@@ -92,3 +92,25 @@ def test_gier_act_dataset_and_train_step(gier_root):
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
     state2, m = step(state, jb)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_plan_gier_pair_batch_cli(gier_root, tmp_path):
+    """plan_gier --pair_batch: lockstep masked planning end-to-end on the
+    on-disk fixture — same acts.json layout as the per-pair path."""
+    from t2onet_tpu.cli import plan_gier
+
+    _d, _vdir, _acts = gier_root
+    out = tmp_path / "plan_out"
+    plan_gier.main(["--cpu", "--data_dir", str(tmp_path), "--limit", "2",
+                    "--pair_batch", "2", "--is_load_mask", "1",
+                    "--data_mode", "global",
+                    "--img_size", "32", "--n_starts", "1", "--n_iters", "10",
+                    "--beam_size", "2", "--out_dir", str(out)])
+    written = sorted(os.listdir(out))
+    assert written == ["pair0", "pair1"]
+    with open(out / "pair0" / "acts.json") as f:
+        info = json.load(f)
+    assert info["operation sequence"][0]
+    assert all(isinstance(s[0], str) and isinstance(s[2], float)
+               for s in info["operation sequence"][0])
+    assert os.path.exists(out / "pair0" / "edit0.jpg")

@@ -249,3 +249,38 @@ def test_batch_beam_search_sharded_matches_unsharded():
         np.testing.assert_allclose(a1[0][0][2], a2[0][0][2], atol=1e-5)
         np.testing.assert_allclose(np.asarray(a1[0][0][1]),
                                    np.asarray(a2[0][0][1]), atol=1e-4)
+
+
+def test_batch_beam_search_with_per_pair_masks():
+    """Lockstep masked planning (GIER batched): per-pair masks condition
+    each pair's fit; results match the single-pair masked planner."""
+    from t2onet_tpu.planner.beam import batch_beam_search
+
+    imgs, tgts, masks = [], [], []
+    for i in range(2):
+        img = _img(30 + i, size=16)
+        m = np.zeros((1, 1, 16, 16), np.float32)
+        if i == 0:
+            m[:, :, :, :8] = 1.0           # left-half edit
+        else:
+            m[:, :, :8, :] = 1.0           # top-half edit
+        t = O.apply_op_by_index(jnp.asarray(img), 0, jnp.asarray([[0.6]]),
+                                mask=jnp.asarray(m))
+        imgs.append(img[0])
+        tgts.append(np.asarray(t)[0])
+        masks.append({0: m[0]})
+    I0, Igt = np.stack(imgs), np.stack(tgts)
+    kw = dict(beam_size=2, max_step=2, err=1e-3, n_starts=1, n_iters=80,
+              lr=0.05, seed=0)
+    results = batch_beam_search(I0, Igt, op_masks=masks, **kw)
+    for i, (actions, images) in enumerate(results):
+        single, _ = beam_search(I0[i:i + 1], Igt[i:i + 1],
+                                op_masks=masks[i], **kw)
+        assert actions[0][0][0] == single[0][0][0] == "brightness"
+        assert actions[0][0][2] < 5e-3          # mask makes it near-exact
+        np.testing.assert_allclose(actions[0][0][2], single[0][0][2],
+                                   atol=1e-4)
+        # replay respects the mask: unedited region identical to input
+        out0 = np.asarray(images[0][0])[0]
+        inv = 1.0 - masks[i][0][0]
+        np.testing.assert_allclose(out0 * inv, I0[i] * inv, atol=1e-6)
