@@ -87,6 +87,12 @@ def build_parser():
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--pair_batch", type=int, default=1)
     p.add_argument("--dist_type", default="l1")
+    # disc-distance knobs, forwarded to plan_fivek when
+    # --dist_type seq2seqGAN-disc (plan_fivek exits without them)
+    p.add_argument("--disc_run_dir", default=None)
+    p.add_argument("--torch_gan_ckpt", default=None)
+    p.add_argument("--num_D", type=int, default=2)
+    p.add_argument("--n_layers_D", type=int, default=3)
     return p
 
 
@@ -112,6 +118,12 @@ def worker_cmd(a, start: int, count: int):
            "--mode", a.mode, "--n_starts", str(a.n_starts),
            "--n_iters", str(a.n_iters), "--lr", str(a.lr),
            "--pair_batch", str(a.pair_batch), "--dist_type", a.dist_type]
+    if a.dist_type == "seq2seqGAN-disc":
+        if a.disc_run_dir:
+            cmd += ["--disc_run_dir", a.disc_run_dir]
+        if a.torch_gan_ckpt:
+            cmd += ["--torch_gan_ckpt", a.torch_gan_ckpt]
+        cmd += ["--num_D", str(a.num_D), "--n_layers_D", str(a.n_layers_D)]
     if a.synthetic:
         cmd += ["--synthetic", "--synthetic_n", str(a.synthetic_n)]
     if a.worker_cpu:
@@ -121,6 +133,10 @@ def worker_cmd(a, start: int, count: int):
 
 def main(argv=None):
     a = build_parser().parse_args(argv)
+    if (a.dist_type == "seq2seqGAN-disc" and not a.disc_run_dir
+            and not a.torch_gan_ckpt):
+        raise SystemExit("--dist_type seq2seqGAN-disc needs --disc_run_dir "
+                         "or --torch_gan_ckpt (forwarded to every worker)")
     total = a.total if a.total is not None else _dataset_size(a)
     start, end = shard_range(total, a.shard_id, a.num_shards)
 

@@ -99,19 +99,24 @@ def main(argv=None):
     if a.pair_batch > 1:
         from t2onet_tpu.planner.beam import batch_beam_search
 
-        buf = []
+        buf, buf_ids = [], []
+        pair_ids = list(pair_ids)
+        last_id = pair_ids[-1]
         for pair_id in pair_ids:
             buf.append(load_pair(pair_id))
-            if len(buf) >= a.pair_batch or pair_id == list(pair_ids)[-1]:
+            buf_ids.append(pair_id)
+            if len(buf) >= a.pair_batch or pair_id == last_id:
                 I0 = np.concatenate([b[0] for b in buf])
                 Igt = np.concatenate([b[1] for b in buf])
+                # seed from the batch's first pair id so batched and
+                # single-pair planning draw aligned random restarts
                 results = batch_beam_search(
-                    I0, Igt, seed=a.manual_seed,
+                    I0, Igt, seed=buf_ids[0],
                     op_masks=[b[3] for b in buf], **kw)
                 for (actions, images), b in zip(results, buf):
                     write_item(b[4], b[2], b[0], b[1], actions, images)
                     n += 1
-                buf = []
+                buf, buf_ids = [], []
                 print(f"planned {n} pairs, "
                       f"{(time.time() - t0) / max(n, 1):.2f}s/pair",
                       flush=True)

@@ -224,7 +224,8 @@ def main(argv=None):
     # the discriminator rides along (the planner's 'seq2seqGAN-disc'
     # distance restores it — cli/plan_fivek.py --dist_type seq2seqGAN-disc)
     d_ckpt = PytreeCheckpointer(os.path.join(run_dir, "seq2seqGAN_model",
-                                             "disc"))
+                                             "disc"),
+                                max_to_keep=a.max_keep_ckpts or None)
     logger = common.ScalarLogger(run_dir)
     rng = jax.random.PRNGKey(a.manual_seed + 1)
     tik = time.time()

@@ -58,6 +58,14 @@ class ModelConfig:
     # matching the configs of record)
     discrete_param: bool = False
     discrete_step: int = 10
+    # Reference-exact batched attention: the reference's Attention has NO
+    # length masking (models/attention.py:37-38) — padded positions up to
+    # the batch-max request length hold zero encoder outputs (score 0)
+    # and still receive softmax mass. Default False = attend only real
+    # tokens (equivalent at batch size 1, the reference eval protocol;
+    # strictly better batched). True reproduces the reference exactly
+    # (used by scripts/parity_harness.py and batched-training parity).
+    attend_batch_max: bool = False
     # vocab ids of special tokens (options/fiveK_train_options.py)
     null_id: int = 0
     start_id: int = 1

@@ -285,6 +285,11 @@ class GIERDataset:
         step axis so consumers take img_y[:, -1] as ground truth, matching
         data.fivek.FiveK.batches. Requires fixed image shapes
         (phase='train' or eval_img_mode='train_size')."""
+        if batch_size > len(self):
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {len(self)}: an "
+                "undersized batch would change the jitted step's compiled "
+                "shapes — lower batch_size (or widen data_mode)")
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)
@@ -342,6 +347,11 @@ class GIERDatasetAct(GIERDataset):
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
+        if batch_size > len(self):
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {len(self)}: an "
+                "undersized batch would change the jitted step's compiled "
+                "shapes — lower batch_size (or widen data_mode)")
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)

@@ -124,6 +124,22 @@ class Actor(nn.Module):
                                 fc_dim=self.cfg.operator_fc_dim)
 
     # ------------------------------------------------------------------
+    def _attn_mask(self, enc_valid):
+        """Attention mask handed to the decoder.
+
+        Default: each sample's true request length. With
+        cfg.attend_batch_max: every position up to the BATCH-max length,
+        reproducing the reference's unmasked Attention over zero-padded
+        encoder outputs (models/attention.py:37-38) — pad positions score
+        0 and soak softmax mass. See ModelConfig.attend_batch_max.
+        """
+        if not self.cfg.attend_batch_max:
+            return enc_valid
+        lengths = enc_valid.sum(axis=1)                        # (B,)
+        pos = jnp.arange(enc_valid.shape[1], dtype=lengths.dtype)
+        return jnp.broadcast_to(pos < jnp.max(lengths),
+                                enc_valid.shape).astype(enc_valid.dtype)
+
     def vis_feat(self, img, train: bool):
         """ResNet feature + BN + relu (reference actor.py:142-143)."""
         feat = self.vis_encoder(img, train=train)
@@ -173,6 +189,7 @@ class Actor(nn.Module):
             has no gradient path to its bin logits in-repo).
         """
         enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
+        enc_valid = self._attn_mask(enc_valid)
         carry = self.decoder.init_carry(enc_hidden)
         n_dec = y.shape[1] - 1                      # decode positions 1..n_dec
 
@@ -250,24 +267,34 @@ class Actor(nn.Module):
         b = x.shape[0]
         steps = self.cfg.decoder_max_len
         enc_out, enc_hidden, enc_valid = self.lang_encoder(x)
+        enc_valid = self._attn_mask(enc_valid)
         carry = self.decoder.init_carry(enc_hidden)
 
         op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
                                    (b, self.cfg.op_vocab_size))
         pred_op = jnp.full((b,), self.cfg.start_id, jnp.int32)
-        img = img_x
 
-        all_ops, all_params, all_imgs, all_logprobs, all_attn = [], [], [], [], []
-        for i in range(steps):
-            feat = self.vis_feat(img, train)
-            logprob, carry, attn, context = self.decoder(
-                pred_op, carry, enc_out, enc_valid, feat)
+        # The rollout is a lax.scan (via nn.scan), NOT an unrolled python
+        # loop: the step body — ResNet vis-encode + decoder step + operator
+        # bank — compiles ONCE instead of decoder_max_len times, which cuts
+        # XLA compile time/memory ~5x for the episode train step (the
+        # dominant cost on both CPU-mesh CI and first TPU compile). This is
+        # the SURVEY §7 "episode_scan": no host round-trips, one graph.
+        use_rng = rng is not None
+        key0 = rng if use_rng else jax.random.PRNGKey(0)
+
+        def step(mdl, carry, _):
+            img, pred_op, op_mask, dec_carry, key = carry
+            feat = mdl.vis_feat(img, train)
+            logprob, dec_carry, attn, context = mdl.decoder(
+                pred_op, dec_carry, enc_out, enc_valid, feat)
             # explore smoothing + hard mask + renorm (actor.py:223-228)
-            probs = jnp.exp(logprob) * (1.0 - self.explore_prob) + self.explore_prob
+            probs = (jnp.exp(logprob) * (1.0 - mdl.explore_prob)
+                     + mdl.explore_prob)
             probs = probs * op_mask
             probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
             if sample:
-                rng, sub = jax.random.split(rng)
+                key, sub = jax.random.split(key)
                 pred_op = jax.random.categorical(sub, jnp.log(probs + 1e-30),
                                                  axis=-1)
             else:
@@ -275,23 +302,23 @@ class Actor(nn.Module):
             pred_op = pred_op.astype(jnp.int32)
             # no-repeat: zero the chosen op (actor.py:235-236)
             op_mask = op_mask * (1.0 - jax.nn.one_hot(
-                pred_op, self.cfg.op_vocab_size, dtype=op_mask.dtype))
+                pred_op, mdl.cfg.op_vocab_size, dtype=op_mask.dtype))
 
             step_mask = None
             if masks is not None:
-                onehot_v = jax.nn.one_hot(pred_op, self.cfg.op_vocab_size,
+                onehot_v = jax.nn.one_hot(pred_op, mdl.cfg.op_vocab_size,
                                           dtype=img.dtype)
                 step_mask = jnp.einsum("bv,bvchw->bchw", onehot_v, masks)
 
-            if self.cfg.discrete_param and sample:
-                rng, sub = jax.random.split(rng)
+            if mdl.cfg.discrete_param and sample:
+                key, sub = jax.random.split(key)
             else:
                 sub = None
-            per_op_params, _ = self._step_params(context, sub, sample)
+            per_op_params, _ = mdl._step_params(context, sub, sample)
             if param_noise > 0.0:
-                rng, sub = jax.random.split(rng)
+                key, sub = jax.random.split(key)
                 per_op_params = bank.add_param_noise(per_op_params, sub,
-                                                     self.opcfg, param_noise)
+                                                     mdl.opcfg, param_noise)
             if pallas_exec:
                 from t2onet_tpu.ops.pallas_fused import (
                     fused_chain, vocab_ops_to_slots)
@@ -302,19 +329,29 @@ class Actor(nn.Module):
             else:
                 img, chosen = bank.execute_bank(img, pred_op, per_op_params,
                                                 mask=step_mask)
-            all_ops.append(pred_op)
-            all_params.append(chosen)
-            all_imgs.append(img)
-            all_logprobs.append(logprob)
-            all_attn.append(attn)
+            ys = (pred_op, chosen, img, logprob,
+                  attn if attn is not None else jnp.zeros_like(enc_valid))
+            return (img, pred_op, op_mask, dec_carry, key), ys
+
+        scan = nn.scan(
+            step,
+            variable_broadcast=["params"] if train else ["params",
+                                                         "batch_stats"],
+            variable_carry=["batch_stats"] if train else [],
+            split_rngs={"params": False},
+            length=steps,
+        )
+        carry0 = (img_x, pred_op, op_mask, carry, key0)
+        _, (ops_t, params_t, imgs_t, logprobs_t, attn_t) = scan(
+            self, carry0, None)
 
         return {
-            "imgs": jnp.stack(all_imgs, axis=1),
-            "ops": jnp.stack(all_ops, axis=1),
-            "params": jnp.stack(all_params, axis=1),
-            "logprobs": jnp.stack(all_logprobs, axis=1),
-            "attn": (jnp.stack(all_attn, axis=1)
-                     if all_attn[0] is not None else None),
+            "imgs": jnp.moveaxis(imgs_t, 0, 1),
+            "ops": jnp.moveaxis(ops_t, 0, 1),
+            "params": jnp.moveaxis(params_t, 0, 1),
+            "logprobs": jnp.moveaxis(logprobs_t, 0, 1),
+            "attn": (jnp.moveaxis(attn_t, 0, 1)
+                     if self.cfg.use_attention else None),
         }
 
 
@@ -333,6 +370,7 @@ class Actor(nn.Module):
         b = x.shape[0]
         enc_out, enc_hidden, enc_valid = jax.lax.stop_gradient(
             self.lang_encoder(x))                   # no_grad (actor.py:299)
+        enc_valid = self._attn_mask(enc_valid)
         feat = self.vis_feat(img_x, train)
         logprob, carry, _, context = self.decoder(op, carry, enc_out,
                                                   enc_valid, feat)

@@ -57,6 +57,13 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
             masks = jnp.asarray(cand_rows(op_masks))
         else:                                   # per-row list -> (N, C, ...)
             masks = jnp.asarray(np.stack([cand_rows(d) for d in op_masks]))
+    if mesh is not None and score_fn is not None:
+        # the mesh path pads/shards imgs but score_aux would stay unpadded
+        # and unsharded — fail clearly instead of deep inside jit
+        raise ValueError(
+            "mesh and score_fn cannot be combined: learned-distance "
+            "scoring (seq2seqGAN-disc) runs single-device; drop mesh= or "
+            "use dist_type l1/l2 for sharded planning")
     if mesh is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -123,7 +123,7 @@ def episode_l1_loss(imgs, ops, gt_img, end_id: int = 2):
 # ---------------------------------------------------------------------------
 
 def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
-                         per_step_bn: bool = False):
+                         per_step_bn: bool = False, state_sharding=None):
     """Build the jitted supervised step.
 
     batch: dict(x (B,L) int32, y (B,T) int32, img_x (B,3,H,W),
@@ -160,11 +160,11 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
         metrics = {"loss": loss, "op_loss": op_loss, "param_loss": param_loss}
         return new_state, metrics
 
-    return _jit_step(step_fn, mesh, donate)
+    return _jit_step(step_fn, mesh, donate, state_sharding=state_sharding)
 
 
 def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
-                      donate: bool = True):
+                      donate: bool = True, state_sharding=None):
     """Build the jitted episode (end-to-end L1) step.
 
     batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W))
@@ -184,7 +184,8 @@ def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
         new_state = state.apply_gradients(grads, new_bs)
         return new_state, {"L1_loss": loss}
 
-    return _jit_step(step_fn, mesh, donate, has_rng=True)
+    return _jit_step(step_fn, mesh, donate, has_rng=True,
+                     state_sharding=state_sharding)
 
 
 def make_eval_episode(actor: Actor, mesh=None):
@@ -205,15 +206,20 @@ def make_eval_episode(actor: Actor, mesh=None):
     return jax.jit(fn, in_shardings=(rep, bs), out_shardings=(bs, bs))
 
 
-def _jit_step(step_fn, mesh, donate, has_rng: bool = False):
+def _jit_step(step_fn, mesh, donate, has_rng: bool = False,
+              state_sharding=None):
+    """state_sharding: optional TrainState-shaped pytree of NamedShardings
+    (see parallel/mesh.py:state_shardings) for 2-D (data x model) layouts;
+    default is fully-replicated state (pure DP)."""
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    in_sh = (rep, bs) + ((rep,) if has_rng else ())
+    st = rep if state_sharding is None else state_sharding
+    in_sh = (st, bs) + ((rep,) if has_rng else ())
     return jax.jit(
         step_fn,
         in_shardings=in_sh,
-        out_shardings=(rep, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate else (),
     )

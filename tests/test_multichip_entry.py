@@ -1,0 +1,58 @@
+"""The driver's multi-chip gate, in CI: __graft_entry__.dryrun_multichip
+must compile and run the full (supervised + episode) training step over a
+(data x model) mesh of 8 virtual CPU devices. Round 1 shipped with this
+gate red (opt_state moments replicated while params were model-sharded ->
+GSPMD cross-module all-to-all -> CPU collective deadlock, rc=134); this
+test keeps it from silently rotting again.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as entry
+
+    # conftest already forced 8 virtual CPU devices; the dryrun's own env
+    # mutation is a no-op at this point, which is fine.
+    entry.dryrun_multichip(8)
+
+
+def test_state_shardings_cover_adam_moments():
+    """The Adam mu/nu trees must get the SAME model-axis sharding as the
+    head params — the exact regression that deadlocked round 1."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.data.synthetic import synthetic_vocab
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.parallel.mesh import make_2d_mesh, state_shardings
+    from t2onet_tpu.train.loop import create_train_state
+
+    vocab = synthetic_vocab()
+    actor = Actor(cfg=ModelConfig(encoder_max_len=8, decoder_max_len=3),
+                  opcfg=OperatorConfig(), vocab_size=len(vocab))
+    state = create_train_state(actor, jax.random.PRNGKey(0),
+                               jnp.zeros((2, 8), jnp.int32),
+                               jnp.zeros((2, 3, 16, 16)))
+    mesh = make_2d_mesh(8, model_par=2)
+    sh = state_shardings(mesh, state)
+
+    def specs_of(tree):
+        return {jax.tree_util.keystr(path): leaf.spec
+                for path, leaf in jax.tree_util.tree_leaves_with_path(tree)}
+
+    p_specs = specs_of(sh.params)
+    head_keys = [k for k in p_specs if "heads" in k]
+    assert head_keys and all(p_specs[k] == P("model") for k in head_keys)
+
+    o_specs = specs_of(sh.opt_state)
+    o_head_keys = [k for k in o_specs if "heads" in k]
+    # mu and nu each mirror the params tree -> 2x the head leaves
+    assert len(o_head_keys) == 2 * len(head_keys)
+    assert all(o_specs[k] == P("model") for k in o_head_keys)
