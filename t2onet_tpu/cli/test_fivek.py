@@ -28,6 +28,19 @@ from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import create_train_state, make_eval_episode
 
 
+def _features_fn(a):
+    """FID extractor when weights are supplied (reference eval protocol
+    defaults to the patched fid_inception, utils/FID/inception.py:36,79);
+    None disables FID exactly like the reference run without the .pth."""
+    ckpt = getattr(a, "fid_inception_ckpt", None)
+    if not ckpt:
+        return None
+    from t2onet_tpu.evals.inception import load_fid_inception
+
+    return load_fid_inception(ckpt,
+                              fid_variant=bool(getattr(a, "fid_variant", 1)))
+
+
 def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
                     visualize: bool = False, quantum: int = 64) -> dict:
     """Per-sample eval at native aspect ratio (reference protocol:
@@ -38,7 +51,7 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
     from t2onet_tpu.evals.bucketing import crop_valid, pad_to_bucket
 
     eval_fn = make_eval_episode(actor)
-    evaluator = ImageEvaluator(host_metrics=True)
+    evaluator = ImageEvaluator(host_metrics=True, features_fn=_features_fn(a))
     webpage = None
     if visualize:
         webpage = HTML(os.path.join(run_dir, "test", "web"),
@@ -74,7 +87,7 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
 def test(actor, state, ds, a, id2op, visualize: bool = False,
          run_dir: str = "output/test") -> dict:
     eval_fn = make_eval_episode(actor)
-    evaluator = ImageEvaluator()
+    evaluator = ImageEvaluator(features_fn=_features_fn(a))
     webpage = None
     if visualize:
         webpage = HTML(os.path.join(run_dir, "test", "web"),
@@ -132,6 +145,13 @@ def main(argv=None):
                         "seq2seqGAN_model to evaluate a train_gan actor "
                         "(reference test_seq2seqGAN.py role)")
     p.add_argument("--skip_variance", action="store_true")
+    p.add_argument("--fid_inception_ckpt", default=None,
+                   help=".pth of InceptionV3 weights to enable FID "
+                        "(pt_inception-2015-12-05 or torchvision)")
+    p.add_argument("--fid_variant", type=int, default=1,
+                   help="1 = pytorch-fid patched architecture (the "
+                        "reference's use_fid_inception=True default), "
+                        "0 = plain torchvision")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)

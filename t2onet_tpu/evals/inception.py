@@ -45,15 +45,30 @@ class BasicConv2d(nn.Module):
         return nn.relu(x)
 
 
-def _pool3x3s1(x):
-    ones = jnp.ones_like(x[..., :1])
+def _branch_pool(x, mode: str):
+    """The 3x3 stride-1 branch pool, in its three historical flavors.
+
+    'avg_tv'  torchvision InceptionA/C/E: average INCLUDING the zero pad
+              (count_include_pad=True, the torch default).
+    'avg_tf'  pytorch-fid FIDInceptionA/C/E_1: average EXCLUDING the pad
+              (reference utils/FID/inception.py:210-212, 239-241, 271-273).
+    'max'     pytorch-fid FIDInceptionE_2 (Mixed_7c): max pool — "likely
+              an error" in the original TF FID model but load-bearing for
+              comparable FID numbers (reference inception.py:299-305).
+    """
+    if mode == "max":
+        return nn.max_pool(x, (3, 3), (1, 1), padding=[(1, 1), (1, 1)])
     s = nn.avg_pool(x, (3, 3), (1, 1), padding=[(1, 1), (1, 1)])
+    if mode == "avg_tv":
+        return s
+    ones = jnp.ones_like(x[..., :1])
     c = nn.avg_pool(ones, (3, 3), (1, 1), padding=[(1, 1), (1, 1)])
     return s / c          # count_include_pad=False semantics
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    pool_mode: str = "avg_tv"
 
     @nn.compact
     def __call__(self, x):
@@ -64,7 +79,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
         bp = BasicConv2d(self.pool_features, (1, 1),
-                         name="branch_pool")(_pool3x3s1(x))
+                         name="branch_pool")(_branch_pool(x, self.pool_mode))
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -81,6 +96,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    pool_mode: str = "avg_tv"
 
     @nn.compact
     def __call__(self, x):
@@ -94,7 +110,8 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_pool3x3s1(x))
+        bp = BasicConv2d(192, (1, 1),
+                         name="branch_pool")(_branch_pool(x, self.pool_mode))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -112,6 +129,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    pool_mode: str = "avg_tv"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -124,15 +143,29 @@ class InceptionE(nn.Module):
         bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
         bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_pool3x3s1(x))
+        bp = BasicConv2d(192, (1, 1),
+                         name="branch_pool")(_branch_pool(x, self.pool_mode))
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3Features(nn.Module):
-    """Backbone up to the final 2048-d average pool (no fc/aux)."""
+    """Backbone up to the final 2048-d average pool (no fc/aux).
+
+    fid_variant=True reproduces pytorch-fid's patched `fid_inception_v3`
+    — the reference's DEFAULT FID protocol (use_fid_inception=True,
+    reference utils/FID/inception.py:36, 79, 166-190): TF-style
+    pad-excluding average branch pools in Mixed_5*/6b-e/7b and a MAX
+    branch pool in Mixed_7c (inception.py:279-307). Weight-compatible with
+    the pt_inception-2015-12-05 state_dict (torchvision key naming,
+    num_classes=1008, no aux). False = plain torchvision inception_v3.
+    """
+
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x_nchw):
+        avg = "avg_tf" if self.fid_variant else "avg_tv"
+        e2 = "max" if self.fid_variant else "avg_tv"
         x = jnp.transpose(x_nchw, (0, 2, 3, 1))
         x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
@@ -141,17 +174,17 @@ class InceptionV3Features(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, pool_mode=avg, name="Mixed_5b")(x)
+        x = InceptionA(64, pool_mode=avg, name="Mixed_5c")(x)
+        x = InceptionA(64, pool_mode=avg, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, pool_mode=avg, name="Mixed_6b")(x)
+        x = InceptionC(160, pool_mode=avg, name="Mixed_6c")(x)
+        x = InceptionC(160, pool_mode=avg, name="Mixed_6d")(x)
+        x = InceptionC(192, pool_mode=avg, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool_mode=avg, name="Mixed_7b")(x)
+        x = InceptionE(pool_mode=e2, name="Mixed_7c")(x)
         return x.mean(axis=(1, 2))          # (B, 2048) pool3
 
 
@@ -193,11 +226,11 @@ def convert_torchvision_inception(sd: Dict) -> Dict:
 
 
 def make_features_fn(variables, resize: bool = True,
-                     normalize: bool = True):
+                     normalize: bool = True, fid_variant: bool = False):
     """Build the (N,3,H,W) in [0,1] -> (N, 2048) extractor the
     ImageEvaluator consumes (reference fid_score.py:138-156 protocol:
     bilinear resize to 299, scale to [-1, 1])."""
-    model = InceptionV3Features()
+    model = InceptionV3Features(fid_variant=fid_variant)
 
     @jax.jit
     def features(imgs):
@@ -211,9 +244,16 @@ def make_features_fn(variables, resize: bool = True,
     return features
 
 
-def load_fid_inception(path: str):
-    """Load a torchvision inception_v3 .pth and return a features_fn."""
+def load_fid_inception(path: str, fid_variant: bool = True):
+    """Load an inception .pth and return a features_fn.
+
+    fid_variant=True (default, matching the reference's
+    use_fid_inception=True) expects the pt_inception-2015-12-05 weights
+    (pytorch-fid's FID_WEIGHTS_URL) and runs the patched architecture;
+    False expects torchvision's inception_v3 weights. Both state_dicts use
+    torchvision key naming, so one converter serves both."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return make_features_fn(convert_torchvision_inception(sd))
+    return make_features_fn(convert_torchvision_inception(sd),
+                            fid_variant=fid_variant)

@@ -14,11 +14,23 @@ sys.path.insert(0, REPO)
 
 
 def test_dryrun_multichip_8():
-    import __graft_entry__ as entry
+    # Run in a SUBPROCESS: an XLA CPU collective rendezvous timeout aborts
+    # the process outright (this is a 1-core box — 8 virtual devices under
+    # external load can miss the hard-coded 40s rendezvous deadline), and
+    # that must fail THIS test, not kill the whole pytest run.
+    import subprocess
 
-    # conftest already forced 8 virtual CPU devices; the dryrun's own env
-    # mutation is a no-op at this point, which is fine.
-    entry.dryrun_multichip(8)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "import __graft_entry__ as e; e.dryrun_multichip(8)" % REPO],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed rc={proc.returncode}\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}")
+    assert "dryrun_multichip ok" in proc.stdout
 
 
 def test_state_shardings_cover_adam_moments():
