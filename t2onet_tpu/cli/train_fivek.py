@@ -88,9 +88,17 @@ def main(argv=None):
         print(f"resumed from iter {int(state.step)}")
 
     logger = common.ScalarLogger(run_dir)
+    # GIER local editing: thread the gt masks emitted by
+    # GIERDatasetAct.batches(is_load_mask) into both phases
+    use_masks = bool(getattr(a, "is_load_mask", 0)) and "step_masks" in sample
+    if getattr(a, "is_load_mask", 0) and not use_masks:
+        print("warning: --is_load_mask set but the dataset emitted no "
+              "masks (no mask annotations?) — training global-only")
     sup_step = make_supervised_step(actor, mesh=mesh,
-                                    per_step_bn=a.per_step_bn)
-    epi_step = make_episode_step(actor, mesh=mesh, sample=True)
+                                    per_step_bn=a.per_step_bn,
+                                    with_masks=use_masks)
+    epi_step = make_episode_step(actor, mesh=mesh, sample=True,
+                                 with_masks=use_masks)
     eval_fn = make_eval_episode(actor)
 
     from t2onet_tpu.data.loader import Prefetcher, device_put_batch
@@ -123,14 +131,16 @@ def main(argv=None):
             _prof.start_trace(os.path.join(run_dir, "profile"))
             prof_open = True
         if a.fs_only or itr % 2 == 1:       # supervised phase
-            state, m = sup_step(state, {k: jb[k] for k in
-                                        ("x", "y", "img_x", "img_y",
-                                         "gt_params")})
+            keys = ("x", "y", "img_x", "img_y", "gt_params") + (
+                ("step_masks",) if use_masks else ())
+            state, m = sup_step(state, {k: jb[k] for k in keys})
         else:                  # episode L1 phase
             rng, sub = jax.random.split(rng)
-            state, m = epi_step(
-                state, {"x": jb["x"], "img_x": jb["img_x"],
-                        "gt_img": jb["img_y"][:, -1]}, sub)
+            eb = {"x": jb["x"], "img_x": jb["img_x"],
+                  "gt_img": jb["img_y"][:, -1]}
+            if use_masks:
+                eb["masks_vocab"] = jb["masks_vocab"]
+            state, m = epi_step(state, eb, sub)
         for k, v in m.items():
             if k in sums:
                 sums[k] = sums[k] + v

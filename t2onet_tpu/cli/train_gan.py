@@ -131,6 +131,11 @@ def main(argv=None):
     p.add_argument("--lambda_feat", type=float, default=10.0)
     p.add_argument("--adapt_pseudo_real", type=int, default=0,
                    help="AdaptGAN: use the last planner edit as pseudo-real")
+    p.add_argument("--vgg_ckpt", default=None,
+                   help="torchvision vgg19 .pth — enables the G_VGG "
+                        "perceptual term (reference VGGLoss, "
+                        "networks.py:113-125); without it G_VGG is 0, "
+                        "matching the reference's --no_vgg_loss")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
@@ -154,8 +159,14 @@ def main(argv=None):
     tx_g = optax.adam(a.gan_lr, b1=a.beta1, b2=0.999)
     gan = GANState(d_params=d_params, d_batch_stats=d_bs,
                    d_opt=tx_d.init(d_params), g_opt=tx_g.init(state.params))
+    perceptual_fn = None
+    if a.vgg_ckpt:
+        from t2onet_tpu.models.vgg import load_vgg19
+
+        _, perceptual_fn = load_vgg19(a.vgg_ckpt)
     losses = Seq2SeqGANLosses(n_layers=a.n_layers_D, num_D=a.num_D,
-                              lambda_feat=a.lambda_feat)
+                              lambda_feat=a.lambda_feat,
+                              perceptual_fn=perceptual_fn)
 
     sup_step = make_supervised_step(actor, donate=False)
     eval_fn = make_eval_episode(actor)

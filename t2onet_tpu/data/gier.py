@@ -253,11 +253,13 @@ class GIERDataset:
                  is_load_mask=False, session=3, train_img_size=128,
                  eval_img_mode="native"):
         self.op_max_len = 8
+        self.is_load_mask = is_load_mask
         self.GIER = GIER(data_dir, vocab_dir, phase, data_mode,
                          is_load_mask, session, train_img_size,
                          eval_img_mode=eval_img_mode)
         self.vocab2id = self.GIER.vocab2id
         self.id2op_vocab = self.GIER.id2op_vocab
+        self.op_vocab2id = self.GIER.op_vocab2id
 
     def __len__(self):
         return len(self.GIER.ReqId2PairId)
@@ -363,7 +365,7 @@ class GIERDatasetAct(GIERDataset):
             sel = idxs[i:i + batch_size]
             i += batch_size
             items = [self[int(j)] for j in sel]
-            yield {
+            batch = {
                 "img_x": np.stack([it["input"] for it in items]),
                 "img_y": np.stack([it["output"] for it in items]),
                 "x": np.stack([it["request_idx"] for it in items]
@@ -373,3 +375,26 @@ class GIERDatasetAct(GIERDataset):
                 "gt_params": np.stack([it["parameters"] for it in items]),
                 "req": [it["request"] for it in items],
             }
+            if self.is_load_mask:
+                # Local-editing gt masks, two layouts (reference
+                # actor.py:78-98/116-124): per-decode-step for the
+                # supervised phase (gathered here by the gt op at each
+                # step) and per-op-vocab for the episode phase (the
+                # Actor gathers by its predicted op). Ops without a mask
+                # edit globally -> ones.
+                size = self.train_img_size
+                n_vocab = len(self.op_vocab2id)
+                b = len(items)
+                s = batch["y"].shape[1] - 2
+                step_m = np.ones((b, s, 1, size, size), np.float32)
+                vocab_m = np.ones((b, n_vocab, 1, size, size), np.float32)
+                for bi, it in enumerate(items):
+                    for op_id, m in it.get("mask_dict", {}).items():
+                        vocab_m[bi, int(op_id), 0] = m
+                    for si in range(s):
+                        op_id = int(batch["y"][bi, si + 1])
+                        if op_id in it.get("mask_dict", {}):
+                            step_m[bi, si, 0] = it["mask_dict"][op_id]
+                batch["step_masks"] = step_m
+                batch["masks_vocab"] = vocab_m
+            yield batch

@@ -166,7 +166,7 @@ class Actor(nn.Module):
 
     # ------------------------------------------------------------------
     def supervised(self, x, y, img_x, img_y, train: bool = True,
-                   with_images: bool = False, mask=None,
+                   with_images: bool = False, mask=None, step_masks=None,
                    per_step_bn: bool = False):
         """Teacher-forced pass (reference actor.py:116-181).
 
@@ -175,6 +175,13 @@ class Actor(nn.Module):
         :param img_x: (B, 3, H, W) input image.
         :param img_y: (B, T-1, 3, H, W) per-step teacher images
             (planner edits; last = gt).
+        :param mask: optional (B, 1|3, H, W) one mask blended at every
+            step.
+        :param step_masks: optional (B, T-2, 1, H, W) per-decode-step gt
+            masks (GIER local editing; the reference supervised_forward's
+            mask argument, actor.py:116-124 — its per-group
+            index_select at actor.py:165 is what this realizes under
+            fixed shapes). Overrides `mask` when given.
         :param per_step_bn: run one ResNet forward per decode step (the
             reference's exact BatchNorm semantics: normalization statistics
             over the (B,) step batch, running averages chained across the
@@ -222,9 +229,10 @@ class Actor(nn.Module):
             per_op_params, bin_logp = self._step_params(context)  # (B, 8, 24)
             if self.cfg.discrete_param:
                 bin_logps.append(bin_logp)
+            step_mask = step_masks[:, i - 1] if step_masks is not None else mask
             if with_images:
                 out_img, chosen = bank.execute_bank(
-                    cur_img, y[:, i], per_op_params, mask=mask)
+                    cur_img, y[:, i], per_op_params, mask=step_mask)
                 imgs.append(out_img)
             else:
                 chosen = bank.select_params(y[:, i], per_op_params)

@@ -123,13 +123,17 @@ def episode_l1_loss(imgs, ops, gt_img, end_id: int = 2):
 # ---------------------------------------------------------------------------
 
 def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
-                         per_step_bn: bool = False, state_sharding=None):
+                         per_step_bn: bool = False, state_sharding=None,
+                         with_masks: bool = False):
     """Build the jitted supervised step.
 
     batch: dict(x (B,L) int32, y (B,T) int32, img_x (B,3,H,W),
-                img_y (B,T-1,3,H,W), gt_params (B,T-2,24))
+                img_y (B,T-1,3,H,W), gt_params (B,T-2,24)
+                [+ step_masks (B,T-2,1,H,W) when with_masks])
     per_step_bn: reference-exact per-step BatchNorm statistics
     (see Actor.supervised).
+    with_masks: thread the GIER local-editing gt masks
+    (GIERDatasetAct.batches is_load_mask output) into the executor.
     """
 
     discrete = actor.cfg.discrete_param
@@ -140,6 +144,7 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["y"], batch["img_x"], batch["img_y"],
                 train=True, per_step_bn=per_step_bn,
+                step_masks=batch["step_masks"] if with_masks else None,
                 mutable=["batch_stats"],
                 method=Actor.supervised)
             pi, pred_params, logprobs = out[:3]
@@ -164,10 +169,14 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
 
 
 def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
-                      donate: bool = True, state_sharding=None):
+                      donate: bool = True, state_sharding=None,
+                      with_masks: bool = False):
     """Build the jitted episode (end-to-end L1) step.
 
-    batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W))
+    batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W)
+                [+ masks_vocab (B,n_vocab,1,H,W) when with_masks — the
+                 per-op gt masks the rollout gathers by predicted op,
+                 reference get_gt_mask actor.py:78-98])
     """
 
     def step_fn(state: TrainState, batch, rng):
@@ -175,6 +184,7 @@ def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
             out, updates = actor.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["img_x"], rng=rng, sample=sample,
+                masks=batch["masks_vocab"] if with_masks else None,
                 train=True, mutable=["batch_stats"], method=Actor.episode)
             loss = episode_l1_loss(out["imgs"], out["ops"], batch["gt_img"])
             return loss, updates["batch_stats"]

@@ -114,3 +114,120 @@ def test_plan_gier_pair_batch_cli(gier_root, tmp_path):
     assert all(isinstance(s[0], str) and isinstance(s[2], float)
                for s in info["operation sequence"][0])
     assert os.path.exists(out / "pair0" / "edit0.jpg")
+
+
+@pytest.fixture
+def gier_local_root(tmp_path, rng):
+    """GIER tree where brightness is a LOCAL edit with a square gt mask."""
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "GIER"
+    for sub in ("images", "masks", "splits", "features"):
+        (d / sub).mkdir(parents=True)
+    vdir = tmp_path / "language"
+    vdir.mkdir()
+    act_dir = tmp_path / "acts"
+    act_dir.mkdir()
+
+    mask = np.zeros((40, 40), np.uint8)
+    mask[8:24, 8:24] = 1                    # local region
+    ann = []
+    for i in range(4):
+        did = f"pair{i}"
+        inp, out = f"{did}_a.jpg", f"{did}_b.jpg"
+        img = (rng.uniform(40, 215, (40, 40, 3))).astype(np.uint8)
+        img2 = img.copy()
+        img2[8:24, 8:24] = np.clip(img[8:24, 8:24] * 1.3, 0, 255)
+        cv2.imwrite(str(d / "images" / inp), img)
+        cv2.imwrite(str(d / "images" / out), img2)
+        with open(d / "masks" / f"{did}_{did}_mask.json", "w") as f:
+            json.dump([rle_encode(mask)], f)
+        ann.append({
+            "input": inp, "output": out,
+            "operator": {"brightness": {"ids": [0], "local": True}},
+            "expert_summary": ["brighten the object"],
+            "amateur_summary": [],
+        })
+        (act_dir / did).mkdir()
+        with open(act_dir / did / "acts.json", "w") as f:
+            json.dump({
+                "request": ["brighten the object"],
+                "init distance": 0.1,
+                "operation sequence": [[("brightness", [0.2], 0.01)]],
+            }, f)
+    with open(d / "splits" / "train_sess_3.json", "w") as f:
+        json.dump(ann, f)
+    with open(d / "splits" / "train_global_sess_3.json", "w") as f:
+        json.dump(list(range(4)), f)
+    with open(vdir / "GIER_vocabs_sess_3.json", "w") as f:
+        json.dump({"<NONE>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3,
+                   "brighten": 4, "the": 5, "object": 6}, f)
+    with open(vdir / "GIER_operator_vocabs_sess_3.json", "w") as f:
+        json.dump({"<NONE>": 0, "<START>": 1, "<END>": 2, "brightness": 3,
+                   "contrast": 4, "saturation": 5, "hue": 6,
+                   "inpaint_obj": 7, "tint": 8, "sharpness": 9,
+                   "color_bg": 10}, f)
+    return str(d), str(vdir), str(act_dir)
+
+
+def test_gier_local_mask_training_end_to_end(gier_local_root):
+    """VERDICT #6: --is_load_mask threads gt masks dataset -> trainer.
+    A local op must leave pixels OUTSIDE the mask untouched while the
+    supervised loss decreases (reference mask plumbing actor.py:78-98,
+    116-124; GIER.py:260-307)."""
+    import jax
+    import jax.numpy as jnp
+
+    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.data.gier import GIERDatasetAct
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.train.loop import create_train_state, make_supervised_step
+
+    data_dir, vocab_dir, act_dir = gier_local_root
+    ds = GIERDatasetAct(data_dir, vocab_dir, act_dir, "train",
+                        data_mode="global", is_load_mask=True, session=3,
+                        train_img_size=32)
+    batch = next(ds.batches(4, 1, shuffle=False))
+    # dataset emits both mask layouts
+    assert batch["step_masks"].shape == (4, 8, 1, 32, 32)
+    assert batch["masks_vocab"].shape == (4, 11, 1, 32, 32)
+    # step 0's gt op is brightness (local) -> its mask, not ones
+    assert batch["step_masks"][0, 0].min() == 0.0
+    assert batch["step_masks"][0, 0].max() == 1.0
+    # steps beyond the sequence are global (ones)
+    assert batch["step_masks"][0, -1].min() == 1.0
+    np.testing.assert_array_equal(batch["masks_vocab"][0, 3, 0],
+                                  batch["step_masks"][0, 0, 0])
+    assert batch["masks_vocab"][0, 4].min() == 1.0   # contrast: global
+
+    cfg = ModelConfig(encoder_max_len=batch["x"].shape[1], decoder_max_len=8,
+                      hidden_size=16)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=7)
+    state = create_train_state(actor, jax.random.PRNGKey(0),
+                               jnp.asarray(batch["x"]),
+                               jnp.asarray(batch["img_x"]))
+
+    # locality: the executed local op changes NOTHING outside its mask
+    pred_imgs, _, _ = actor.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(batch["x"]), jnp.asarray(batch["y"]),
+        jnp.asarray(batch["img_x"]), jnp.asarray(batch["img_y"]),
+        train=False, with_images=True,
+        step_masks=jnp.asarray(batch["step_masks"]),
+        method=Actor.supervised)
+    outside = 1.0 - batch["step_masks"][:, 0]        # (4,1,32,32)
+    diff0 = np.abs(np.asarray(pred_imgs)[:, 0] - batch["img_x"]) * outside
+    assert float(diff0.max()) == 0.0
+    # and it DOES change pixels inside (random-init params, nonzero op)
+    inside = batch["step_masks"][:, 0]
+    assert float((np.abs(np.asarray(pred_imgs)[:, 0] - batch["img_x"])
+                  * inside).max()) > 1e-4
+
+    # masked supervised training decreases the loss
+    step = make_supervised_step(actor, donate=False, with_masks=True)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if k not in ("req", "masks_vocab")}
+    losses = []
+    for _ in range(5):
+        state, m = step(state, jb)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
