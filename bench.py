@@ -42,6 +42,76 @@ def build_workload(batch=32, size=512, steps=5, seed=0):
             jnp.asarray(params))
 
 
+def train_bench(batch=64, size=128, iters=10):
+    """Training-step throughput at the config of record (bs 64, 128px,
+    reference README.md:91): one jitted step per phase (supervised
+    teacher-forced + episode end-to-end-L1 — the reference's alternating
+    iteration pair, train_seq2seqL1.py:51-92), timed after compile.
+
+    Prints one JSON line: ms/it per phase + images/s for the alternating
+    pair."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.train.loop import (create_train_state, make_episode_step,
+                                       make_supervised_step)
+
+    vocab = synthetic_vocab()
+    cfg = ModelConfig()                      # full config of record
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=len(vocab))
+    ds = SyntheticFiveK(n=batch, img_size=size, seed=0,
+                        req_max_len=cfg.encoder_max_len,
+                        op_max_len=cfg.decoder_max_len)
+    b = next(ds.batches(batch_size=batch, steps=1, shuffle=False))
+    jb = {k: jnp.asarray(v) for k, v in b.items() if k != "req"}
+    sup_batch = {k: jb[k] for k in ("x", "y", "img_x", "img_y", "gt_params")}
+    epi_batch = {"x": jb["x"], "img_x": jb["img_x"],
+                 "gt_img": jb["img_y"][:, -1]}
+
+    state = create_train_state(actor, jax.random.PRNGKey(0), jb["x"],
+                               jb["img_x"])
+    sup_step = make_supervised_step(actor, donate=False)
+    epi_step = make_episode_step(actor, donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    state, m1 = sup_step(state, sup_batch)
+    state, m2 = epi_step(state, epi_batch, rng)
+    _ = float(m1["loss"]) + float(m2["L1_loss"])
+
+    def time_phase(fn, *args):
+        dts = []
+        nonlocal state
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(iters):
+                state, m = fn(state, *args)
+            _ = float(m[next(iter(m))])      # readback barrier
+            dts.append((time.perf_counter() - t0) / iters)
+        return min(dts)
+
+    dt_sup = time_phase(sup_step, sup_batch)
+    dt_epi = time_phase(epi_step, epi_batch, rng)
+    imgs_per_sec = 2 * batch / (dt_sup + dt_epi)
+    print(json.dumps({
+        "metric": "train images/sec/chip (alternating fs+L1, bs64 128px)",
+        "value": round(imgs_per_sec, 1),
+        "unit": "img/s",
+        "detail": {
+            "sup_ms_per_it": round(dt_sup * 1e3, 2),
+            "episode_ms_per_it": round(dt_epi * 1e3, 2),
+            "batch": batch, "img": f"{size}x{size}x3 f32",
+        },
+    }), flush=True)
+    return imgs_per_sec
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,6 +119,8 @@ def main():
     from t2onet_tpu.ops.pallas_fused import fused_chain
 
     import sys
+
+    train_bench()
 
     imgs, slots, params = build_workload()
     f = jax.jit(fused_chain)

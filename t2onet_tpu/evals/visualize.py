@@ -77,7 +77,11 @@ def update_web_row(webpage, sample_id: int, request: str,
 
     if attn is not None:
         name = f"{sample_id:05d}_attn.png"
-        toks = request.split()
+        # tokenize exactly as the encoder consumed the request — raw
+        # split() can misalign x-labels with the attended positions
+        from t2onet_tpu.data.text import parse_sent
+
+        toks = parse_sent(request)
         ops_names = [str(id2op.get(int(o), o)) for o in ops]
         show_attention(toks, ops_names, attn, os.path.join(img_dir, name))
         ims.append(name)

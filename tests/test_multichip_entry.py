@@ -20,13 +20,25 @@ def test_dryrun_multichip_8():
     # that must fail THIS test, not kill the whole pytest run.
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, %r); "
-         "import __graft_entry__ as e; e.dryrun_multichip(8)" % REPO],
-        cwd=REPO, capture_output=True, text=True, timeout=900,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
-    )
+    def run():
+        return subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); "
+             "import __graft_entry__ as e; e.dryrun_multichip(8)" % REPO],
+            cwd=REPO, capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+
+    proc = run()
+    if proc.returncode == -6 and "rendezvous" in proc.stderr:
+        # SIGABRT from the rendezvous watchdog: XLA's own log calls the 20s
+        # warning "a false-positive. Perhaps the timeout is too short" —
+        # under external load 8 device threads on 1 core can miss the
+        # hard-coded 40s termination deadline too. One retry separates a
+        # scheduling hiccup (passes when re-run) from a real deadlock
+        # (deterministically times out again, e.g. round 1's mis-sharded
+        # Adam moments).
+        proc = run()
     assert proc.returncode == 0, (
         f"dryrun_multichip failed rc={proc.returncode}\n"
         f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}")
