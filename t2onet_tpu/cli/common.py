@@ -58,6 +58,11 @@ def add_base_args(p: argparse.ArgumentParser):
                    help="classify op params over discrete_step bins "
                         "(reference fiveK_base_options discrete_param)")
     p.add_argument("--discrete_step", type=int, default=10)
+    p.add_argument("--vis_bf16", type=int, default=0,
+                   help="vis-encoder (ResNet) computation in bfloat16 — "
+                        "params/batch-stats stay f32; halves the per-step "
+                        "activation HBM traffic of the hot vis-encode. "
+                        "Off by default (reference-exact f32 numerics)")
     # operator ranges (reference fiveK_base_options.py:48-54)
     p.add_argument("--exposure_range", type=float, default=3.5)
     p.add_argument("--sharpness_range", type=float, default=1.5)
@@ -90,7 +95,8 @@ def args_to_config(a) -> Config:
         operator_fc_dim=a.operator_fc_dim,
         fix_input_embedding=bool(a.fix_input_embedding),
         discrete_param=bool(getattr(a, "discrete_param", 0)),
-        discrete_step=getattr(a, "discrete_step", 10))
+        discrete_step=getattr(a, "discrete_step", 10),
+        vis_bf16=bool(getattr(a, "vis_bf16", 0)))
     ops = OperatorConfig(
         exposure_range=a.exposure_range, sharpness_range=a.sharpness_range,
         brightness_range=a.brightness_range, curve_steps=a.curve_steps)

@@ -49,6 +49,10 @@ class ModelConfig:
     operator_fc_dim: int = 512      # per-op parameter head fc1 width
     resnet_depth: int = 18
     vis_feat_dim: int = 512         # ResNet output feature (actor.py:75)
+    # vis-encoder computation in bfloat16 (params/batch-stats stay f32):
+    # halves per-step activation bandwidth on TPU; off by default to keep
+    # reference-exact f32 numerics
+    vis_bf16: bool = False
     input_dropout_p: float = 0.0
     dropout_p: float = 0.0
     fix_input_embedding: bool = False

@@ -136,11 +136,16 @@ class SyntheticFiveK:
             reqs.append(str(rng.choice(temps)))
             p = np.atleast_1d(np.asarray(sampler(rng), np.float32))
             exec_idx = O.OP_NAMES.index(name)
+            import jax
             import jax.numpy as jnp
 
-            cur = np.asarray(
-                O.apply_op_by_index(jnp.asarray(cur), exec_idx,
-                                    jnp.asarray(p[None])), np.float32)
+            # pin data generation to the host CPU backend: on a remote
+            # TPU (axon tunnel) each eager op application would pay a
+            # full round trip, turning batch prep into minutes
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                cur = np.asarray(
+                    O.apply_op_by_index(jnp.asarray(cur), exec_idx,
+                                        jnp.asarray(p[None])), np.float32)
             op_ids.append(exec_idx + bank.VOCAB_OFFSET)
             row = np.zeros(bank.MAX_PARAM, np.float32)
             row[: len(p)] = p

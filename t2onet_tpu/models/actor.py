@@ -100,7 +100,9 @@ class Actor(nn.Module):
 
     def setup(self):
         self.vis_encoder = ResNet(depth=self.cfg.resnet_depth,
-                                  num_outputs=self.cfg.vis_feat_dim)
+                                  num_outputs=self.cfg.vis_feat_dim,
+                                  dtype=(jnp.bfloat16 if self.cfg.vis_bf16
+                                         else jnp.float32))
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         self.lang_encoder = RNNEncoder(
             vocab_size=self.vocab_size,
@@ -258,10 +260,13 @@ class Actor(nn.Module):
         :param rng: PRNG key (required when sample=True).
         :param masks: optional (B, n_vocab, 1, H, W) per-op gt masks
             (GIER local editing); gathered by the predicted op.
-        :param pallas_exec: execute each step with the fused Pallas kernel
-            (only the selected branch computed) instead of the
-            differentiable one-hot bank — forward-only (no VJP), for
-            serving/eval throughput.
+        :param pallas_exec: execute each step with the fused Pallas step
+            kernel (only the selected branch computed, forward AND
+            backward — custom VJP, gradients identical to the bank)
+            instead of the differentiable one-hot bank which materializes
+            all 8 op outputs. Faster for serving/eval and for
+            episode-phase training; requires a TPU backend (CPU falls
+            back to the Pallas interpreter). No inpaint_fn support.
         :param param_noise: > 0 adds range-scaled exploration noise to the
             predicted parameters, clamped to each op's range (the
             reference's has_noise path, operators.py:113-121; its
@@ -329,11 +334,11 @@ class Actor(nn.Module):
                                                      mdl.opcfg, param_noise)
             if pallas_exec:
                 from t2onet_tpu.ops.pallas_fused import (
-                    fused_chain, vocab_ops_to_slots)
+                    fused_step, vocab_ops_to_slots)
 
                 chosen = bank.select_params(pred_op, per_op_params)
-                img = fused_chain(img, vocab_ops_to_slots(pred_op[:, None]),
-                                  chosen[:, None], mask=step_mask)
+                img = fused_step(img, vocab_ops_to_slots(pred_op[:, None])[:, 0],
+                                 chosen, mask=step_mask)
             else:
                 img, chosen = bank.execute_bank(img, pred_op, per_op_params,
                                                 mask=step_mask)

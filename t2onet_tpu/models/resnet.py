@@ -37,20 +37,23 @@ def _conv_init(key, shape, dtype=jnp.float32):
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
-        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
-                    padding=1, use_bias=False, kernel_init=_conv_init)(x)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        conv = lambda *a, **k: nn.Conv(*a, use_bias=False,
+                                       kernel_init=_conv_init,
+                                       dtype=self.dtype, **k)
+        y = conv(self.planes, (3, 3), (self.stride, self.stride),
+                 padding=1)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                    kernel_init=_conv_init)(y)
+        y = conv(self.planes, (3, 3), padding=1)(y)
         y = norm()(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), (self.stride, self.stride),
-                        use_bias=False, kernel_init=_conv_init)(x)
+            x = conv(self.planes, (1, 1), (self.stride, self.stride))(x)
             x = norm()(x)
         return nn.relu(y + x)
 
@@ -59,24 +62,26 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        conv = lambda *a, **k: nn.Conv(*a, use_bias=False,
+                                       kernel_init=_conv_init,
+                                       dtype=self.dtype, **k)
         out_planes = self.planes * self.expansion
-        y = nn.Conv(self.planes, (1, 1), use_bias=False,
-                    kernel_init=_conv_init)(x)
+        y = conv(self.planes, (1, 1))(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
-                    padding=1, use_bias=False, kernel_init=_conv_init)(y)
+        y = conv(self.planes, (3, 3), (self.stride, self.stride),
+                 padding=1)(y)
         y = nn.relu(norm()(y))
-        y = nn.Conv(out_planes, (1, 1), use_bias=False,
-                    kernel_init=_conv_init)(y)
+        y = conv(out_planes, (1, 1))(y)
         y = norm()(y)
         if self.stride != 1 or x.shape[-1] != out_planes:
-            x = nn.Conv(out_planes, (1, 1), (self.stride, self.stride),
-                        use_bias=False, kernel_init=_conv_init)(x)
+            x = conv(out_planes, (1, 1), (self.stride, self.stride))(x)
         return nn.relu(y + x)
 
 
@@ -89,19 +94,28 @@ class ResNet(nn.Module):
     depth: int = 18
     num_outputs: int = 512
     stage_widths: Sequence[int] = (64, 128, 256, 512)
+    # computation dtype; params/batch-stats stay f32 (flax param_dtype).
+    # bfloat16 halves the activation HBM traffic of the hot per-step
+    # vis-encode — batch stats are still reduced in f32 (flax
+    # _compute_stats promotes), output is cast back to f32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         block_kind, blocks_per_stage = _CFG[self.depth]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
         x = jnp.transpose(img, (0, 2, 3, 1))  # NCHW -> NHWC for TPU convs
+        x = x.astype(self.dtype)
         x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False,
-                    kernel_init=_conv_init)(x)
+                    kernel_init=_conv_init, dtype=self.dtype)(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x))
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(x))
         for planes, n_blocks in zip(self.stage_widths, blocks_per_stage):
             for b in range(n_blocks):
-                x = block_cls(planes, stride=2 if b == 0 else 1)(x, train)
+                x = block_cls(planes, stride=2 if b == 0 else 1,
+                              dtype=self.dtype)(x, train)
+        x = x.astype(jnp.float32)
         x = x.mean(axis=(1, 2))  # global average pool
         x = nn.Dense(self.num_outputs, kernel_init=torch_linear_kernel_init)(x)
         return x

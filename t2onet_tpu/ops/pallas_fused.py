@@ -161,6 +161,23 @@ _BRANCHES = [
 # kernel
 # ---------------------------------------------------------------------------
 
+def _apply_step(op, img, plist, m):
+    """One chain step on a VMEM-resident (3, H, W) tile: selected-branch
+    switch -> optional mask blend -> clamp, with the identity slot
+    returning the input untouched (matches bank.execute_onehot
+    blend-THEN-clamp + identity-skip semantics exactly, so gradients of
+    this step equal the differentiable bank's)."""
+
+    def apply(branch):
+        return lambda operand: branch(operand[0], operand[1])
+
+    out = jax.lax.switch(op, [apply(f) for f in _BRANCHES], (img, plist))
+    if m is not None:
+        out = out * m[None] + img * (1.0 - m[None])
+    out = jnp.clip(out, 0.0, 1.0)
+    return jnp.where(op == 0, img, out)
+
+
 def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps):
     b = pl.program_id(0)
 
@@ -169,12 +186,7 @@ def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps):
         # (a fori_loop over steps keeps Mosaic compile time flat in K)
         op = ops_ref[b, k]
         p = [params_ref[b, k, j] for j in range(MAX_PARAM)]
-
-        def apply(branch):
-            return lambda im: branch(im, p)
-
-        img = jax.lax.switch(op, [apply(f) for f in _BRANCHES], img)
-        return jnp.clip(img, 0.0, 1.0)
+        return _apply_step(op, img, p, None)
 
     out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
 
@@ -190,16 +202,7 @@ def _masked_chain_kernel(ops_ref, params_ref, img_ref, mask_ref, out_ref, *,
     def step(k, img):
         op = ops_ref[b, k]
         p = [params_ref[b, k, j] for j in range(MAX_PARAM)]
-
-        def apply(branch):
-            return lambda im: branch(im, p)
-
-        out = jax.lax.switch(op, [apply(f) for f in _BRANCHES], img)
-        out = out * m[None] + img * (1.0 - m[None])
-        out = jnp.clip(out, 0.0, 1.0)
-        # identity slot must return the image untouched even where the
-        # clamp would bite (matches bank.execute_onehot's identity skip)
-        return jnp.where(op == 0, img, out)
+        return _apply_step(op, img, p, m)
 
     out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
 
@@ -252,6 +255,146 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
         ),
         interpret=interpret,
     )(op_slots.astype(jnp.int32), params.astype(jnp.float32), *operands)
+
+
+# ---------------------------------------------------------------------------
+# differentiable single-step kernel (episode-phase training)
+# ---------------------------------------------------------------------------
+
+def _step_bwd_kernel(ops_ref, params_ref, img_ref, g_ref, dimg_ref, dp_ref):
+    """VJP of one chain step: only the SELECTED branch's backward runs.
+
+    jax.vjp is applied *inside* the kernel body to the same `_apply_step`
+    math as the forward — linearization happens at trace time, so the
+    lowered kernel is ordinary elementwise math + full-plane reductions
+    (one scalar per parameter), still one program per image with the tile
+    resident in VMEM. This is what lets episode-phase training drop the
+    differentiable bank's 8-branch one-hot blend (compute-all + blend)
+    for selected-branch cost on both the forward AND backward pass.
+    """
+    b = pl.program_id(0)
+    op = ops_ref[b, 0]
+    p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
+
+    out, vjp = jax.vjp(lambda im, pl_: _apply_step(op, im, pl_, None),
+                       img_ref[0], p)
+    del out
+    d_img, d_p = vjp(g_ref[0])
+    dimg_ref[0] = d_img
+    for j in range(MAX_PARAM):
+        dp_ref[0, 0, j] = d_p[j]
+
+
+def _masked_step_bwd_kernel(ops_ref, params_ref, img_ref, mask_ref, g_ref,
+                            dimg_ref, dp_ref):
+    b = pl.program_id(0)
+    op = ops_ref[b, 0]
+    p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
+    m = mask_ref[0, 0]
+
+    out, vjp = jax.vjp(lambda im, pl_: _apply_step(op, im, pl_, m),
+                       img_ref[0], p)
+    del out
+    d_img, d_p = vjp(g_ref[0])
+    dimg_ref[0] = d_img
+    for j in range(MAX_PARAM):
+        dp_ref[0, 0, j] = d_p[j]
+
+
+def _step_bwd(imgs, op_slots, params, g, mask, interpret):
+    b, _, h, w = imgs.shape
+    img_spec = pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [img_spec]
+    operands = [imgs]
+    if mask is None:
+        kernel = _step_bwd_kernel
+    else:
+        kernel = _masked_step_bwd_kernel
+        in_specs.append(pl.BlockSpec((1, 1, h, w), lambda i, *_: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask.astype(imgs.dtype))
+    in_specs.append(img_spec)                          # cotangent
+    operands.append(g)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # 24 scalars per image: SMEM, with a unit axis so the trailing
+            # block dims equal the array dims (Mosaic's tileability check)
+            pl.BlockSpec((1, 1, MAX_PARAM), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    d_img, d_params = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
+            jax.ShapeDtypeStruct((b, 1, MAX_PARAM), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(op_slots[:, None].astype(jnp.int32),
+      params[:, None].astype(jnp.float32), *operands)
+    return d_img, d_params[:, 0]
+
+
+def _make_fused_step(with_mask: bool):
+    @jax.custom_vjp
+    def step(imgs, op_slots, params, *rest):
+        mask = rest[0] if with_mask else None
+        return fused_chain(imgs, op_slots[:, None], params[:, None],
+                           mask=mask)
+
+    def fwd(imgs, op_slots, params, *rest):
+        return step(imgs, op_slots, params, *rest), (imgs, op_slots, params,
+                                                     *rest)
+
+    def bwd(res, g):
+        imgs, op_slots, params = res[:3]
+        mask = res[3] if with_mask else None
+        d_img, d_params = _step_bwd(imgs, op_slots, params, g, mask,
+                                    interpret=jax.default_backend() == "cpu")
+        if with_mask:
+            return d_img, None, d_params, None
+        return d_img, None, d_params
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
+_FUSED_STEP = _make_fused_step(False)
+_FUSED_STEP_MASKED = _make_fused_step(True)
+
+
+def fused_step(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
+               mask: jax.Array | None = None) -> jax.Array:
+    """Differentiable single chain step (the episode-rollout inner op).
+
+    Same math as `fused_chain` with K=1, but with a custom VJP whose
+    backward is itself a Pallas kernel (`_step_bwd_kernel`): both passes
+    compute only the per-image SELECTED branch, unlike the jnp bank
+    (`ops.bank.execute_bank`) which materializes all 8 op outputs and
+    blends by one-hot. Gradients match the bank's exactly (same
+    blend-then-clamp + identity-skip semantics; pinned in
+    tests/test_pallas_fused.py). No inpaint_fn support (slot 5 is
+    identity), mask receives no gradient (it is ground-truth data).
+
+    :param imgs: (B, 3, H, W) f32 in [0, 1].
+    :param op_slots: (B,) int32 slot ids (0 identity, 1..8 executor+1).
+    :param params: (B, 24) f32 chosen parameter rows.
+    :param mask: optional (B, 1, H, W) f32.
+    """
+    if mask is None:
+        return _FUSED_STEP(imgs, op_slots, params)
+    return _FUSED_STEP_MASKED(imgs, op_slots, params, mask)
 
 
 def vocab_ops_to_slots(op_vocab_ids: jax.Array) -> jax.Array:

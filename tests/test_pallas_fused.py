@@ -90,6 +90,73 @@ def test_fused_chain_sharded_matches_single(rng=None):
     np.testing.assert_allclose(np.asarray(sm), np.asarray(s1), atol=1e-6)
 
 
+def test_fused_step_grads_match_bank():
+    """fused_step's custom VJP (Pallas backward, selected branch only)
+    must produce the SAME gradients as differentiating the one-hot bank
+    — for the image input and the chosen parameter rows, masked and not.
+    Verified to ~1e-9 on real TPU; interpret mode here."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    b, h, w = 11, 16, 16
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, 3, h, w)).astype(np.float32))
+    # one of each vocab id 0..10: specials + all 8 executor ops
+    ids = jnp.asarray((np.arange(b) % 11).astype(np.int32))
+    params = jnp.asarray(rng.uniform(0.05, 0.5, (b, 24)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (b, 3, h, w)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(0, 1, (b, 1, h, w)) > 0.4)
+                       .astype(np.float32))
+
+    from t2onet_tpu.ops.pallas_fused import fused_step
+
+    for m in (None, mask):
+        def loss_bank(img, p):
+            out, _ = bank.execute_bank(img, ids, p, mask=m)
+            return jnp.abs(out - gt).mean()
+
+        def loss_fused(img, p):
+            out = fused_step(img, vocab_ops_to_slots(ids[:, None])[:, 0],
+                             p, mask=m)
+            return jnp.abs(out - gt).mean()
+
+        l1, (gi1, gp1) = jax.value_and_grad(loss_bank, (0, 1))(imgs, params)
+        l2, (gi2, gp2) = jax.value_and_grad(loss_fused, (0, 1))(imgs, params)
+        assert abs(float(l1) - float(l2)) < 1e-6
+        np.testing.assert_allclose(np.asarray(gi2), np.asarray(gi1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp2), np.asarray(gp1),
+                                   atol=1e-6)
+        # param grad lands ONLY on each sample's selected op row
+        assert float(jnp.abs(gp2[np.asarray(ids) < 3]).max()) == 0.0
+
+
+def test_episode_step_pallas_exec_trains():
+    """make_episode_step(pallas_exec=True) must run and update params
+    through the fused-step custom VJP (interpret mode on CPU)."""
+    import jax
+
+    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.data.synthetic import synthetic_vocab
+    from t2onet_tpu.models.actor import Actor
+    from t2onet_tpu.train.loop import create_train_state, make_episode_step
+
+    vocab = synthetic_vocab()
+    actor = Actor(cfg=ModelConfig(encoder_max_len=8, decoder_max_len=3),
+                  opcfg=OperatorConfig(), vocab_size=len(vocab))
+    x = jnp.zeros((2, 8), jnp.int32).at[:, 0].set(1)
+    img = jnp.full((2, 3, 16, 16), 0.4)
+    state = create_train_state(actor, jax.random.PRNGKey(0), x, img)
+    step = make_episode_step(actor, donate=False, pallas_exec=True)
+    batch = {"x": x, "img_x": img, "gt_img": jnp.full((2, 3, 16, 16), 0.6)}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["L1_loss"]))
+    changed = any(
+        bool(jnp.any(a != b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(new_state.params)))
+    assert changed
+
+
 def test_vocab_ops_to_slots():
     ids = jnp.asarray([[0, 1, 2, 3, 10]])
     slots = np.asarray(vocab_ops_to_slots(ids))
