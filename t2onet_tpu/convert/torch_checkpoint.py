@@ -203,6 +203,75 @@ def convert_gan_state_dict(sd: Dict, num_D: int = 2, n_layers_D: int = 3,
     return actor, bundle
 
 
+def _convt(x):
+    # torch ConvTranspose2d weight (I, O, kH, kW) -> flax
+    # ConvTranspose(transpose_kernel=True) kernel (kH, kW, O, I); both
+    # implement gradient-of-conv semantics so no spatial flip is needed
+    return np.ascontiguousarray(np.asarray(x, np.float32).transpose(2, 3, 1, 0))
+
+
+def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
+    """Convert a torch pix2pixHD generator state_dict (GlobalGenerator /
+    LocalEnhancer / Encoder, reference networks.py:130-291) into the flax
+    params of models.pix2pixhd.
+
+    The torch modules are nn.Sequentials, so keys are positional:
+    `model.{idx}.weight` (convs / conv-transposes),
+    `model.{idx}.conv_block.{1,5}.weight` (ResnetBlock convs), plus the
+    LocalEnhancer branches `model{n}_1.{idx}.*` / `model{n}_2.{idx}.*`.
+    Instance norm is affine=False — no norm entries exist. Our flax
+    layers are named for exactly these indices (m{idx} / c{idx}), so the
+    rename is mechanical; `ref_params` (a module.init params tree)
+    supplies the expected kernel shape that distinguishes a strided Conv
+    (OIHW) from a ConvTranspose (IOHW) — their channel counts differ in
+    every pix2pixHD position.
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v, np.float32) for k, v in sd.items()}
+    import flax
+
+    flat_ref = flax.traverse_util.flatten_dict(ref_params)
+    out: Dict[Tuple, np.ndarray] = {}
+    for key, w in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]                  # weight | bias
+        if leaf not in ("weight", "bias"):
+            raise KeyError(f"unexpected pix2pixHD key {key!r}")
+        if "conv_block" in parts:         # {seq}.{idx}.conv_block.{j}
+            seq, idx, _, j = parts[:-1]
+            if seq == "model":
+                path = (f"m{idx}", f"c{j}")
+            elif "_" in seq:              # model{n}_2 enhancer branch
+                path = (f"{seq}_m{idx}", f"c{j}")
+            else:
+                raise KeyError(f"unexpected pix2pixHD key {key!r}")
+        else:
+            seq, idx = parts[:-1]
+            if seq == "model":
+                path = (f"m{idx}",)
+            elif "_" in seq:              # model{n}_1 / model{n}_2 branch
+                path = (f"{seq}_m{idx}",)
+            else:
+                raise KeyError(f"unexpected pix2pixHD key {key!r}")
+        # LocalEnhancer's trimmed global lives under scope "model"
+        if ("model",) + path[:1] in {p[:2] for p in flat_ref}:
+            path = ("model",) + path
+        if leaf == "bias":
+            out[path + ("bias",)] = w
+            continue
+        want = flat_ref[path + ("kernel",)].shape
+        conv = _conv(w)
+        out[path + ("kernel",)] = conv if conv.shape == tuple(want) \
+            else _convt(w)
+        if out[path + ("kernel",)].shape != tuple(want):
+            raise ValueError(f"{key}: torch shape {w.shape} fits neither "
+                             f"Conv nor ConvTranspose layout {want}")
+    missing = set(flat_ref) - set(out)
+    if missing:
+        raise KeyError(f"state_dict missing params for {sorted(missing)[:5]}")
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def load_torch_checkpoint(path: str, n_layers: int = 2):
     """Load model.pth (torch cpu) and convert."""
     import torch
