@@ -49,6 +49,10 @@ class ModelConfig:
     operator_fc_dim: int = 512      # per-op parameter head fc1 width
     resnet_depth: int = 18
     vis_feat_dim: int = 512         # ResNet output feature (actor.py:75)
+    # ResNet stage widths (reference actor_resnet.py:73-107 hardcodes
+    # 64/128/256/512); overridable so tests/tiny deployments can shrink
+    # the vis encoder without touching its depth/structure
+    resnet_widths: Tuple[int, int, int, int] = (64, 128, 256, 512)
     # vis-encoder computation in bfloat16 (params/batch-stats stay f32):
     # halves per-step activation bandwidth on TPU; off by default to keep
     # reference-exact f32 numerics

@@ -101,6 +101,7 @@ class Actor(nn.Module):
     def setup(self):
         self.vis_encoder = ResNet(depth=self.cfg.resnet_depth,
                                   num_outputs=self.cfg.vis_feat_dim,
+                                  stage_widths=self.cfg.resnet_widths,
                                   dtype=(jnp.bfloat16 if self.cfg.vis_bf16
                                          else jnp.float32))
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)

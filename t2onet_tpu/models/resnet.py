@@ -106,8 +106,9 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
         x = jnp.transpose(img, (0, 2, 3, 1))  # NCHW -> NHWC for TPU convs
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False,
-                    kernel_init=_conv_init, dtype=self.dtype)(x)
+        x = nn.Conv(self.stage_widths[0], (3, 3), (2, 2), padding=1,
+                    use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype)(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype)(x))

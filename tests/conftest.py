@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # step XLA compiles on this 1-core box; cached re-runs cut minutes.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_t2onet"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -39,6 +39,22 @@ def pytest_collection_modifyitems(items):
     first = [i for i in items if "test_dryrun_multichip" in i.nodeid]
     rest = [i for i in items if "test_dryrun_multichip" not in i.nodeid]
     items[:] = first + rest
+
+
+def tiny_model_config(**overrides):
+    """A structurally-complete but narrow ModelConfig for smoke tests.
+
+    Keeps every architectural feature of the config of record (2-layer
+    bidirectional LSTM, attention, 8-op heads, ResNet-18 depth) but
+    shrinks the widths ~10-100x: whole-train-step compiles on this
+    1-core CI host drop from tens of seconds to a few. Tests that pin
+    NUMERICS against torch or the reference must keep real dims."""
+    from t2onet_tpu.config import ModelConfig
+
+    kw = dict(hidden_size=16, word_vec_dim=16, operator_fc_dim=16,
+              vis_feat_dim=32, resnet_widths=(8, 8, 16, 16))
+    kw.update(overrides)
+    return ModelConfig(**kw)
 
 
 @pytest.fixture

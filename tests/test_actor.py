@@ -15,7 +15,9 @@ VOCAB = 40
 
 @pytest.fixture(scope="module")
 def actor_and_vars():
-    cfg = ModelConfig(encoder_max_len=L, decoder_max_len=5)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=L, decoder_max_len=5)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=VOCAB)
     rng = jax.random.PRNGKey(0)
     x = jnp.array([[1, 5, 6, 7, 2, 0, 0, 0, 0],
@@ -215,7 +217,10 @@ def test_resnet_bf16_compute_f32_params():
 def test_actor_vis_bf16_episode_runs():
     """An Actor built with cfg.vis_bf16 rolls out finite images and its
     ops stay close to the f32 actor's (same params)."""
-    cfg = ModelConfig(encoder_max_len=L, decoder_max_len=2, vis_bf16=True)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=L, decoder_max_len=2,
+                            vis_bf16=True)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=VOCAB)
     x = jnp.array([[1, 5, 6, 7, 2, 0, 0, 0, 0]], jnp.int32)
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16))

@@ -11,7 +11,11 @@ from t2onet_tpu.train.loop import create_train_state
 
 
 def _tiny_state():
-    cfg = ModelConfig(encoder_max_len=6, decoder_max_len=3, hidden_size=8)
+    from tests.conftest import tiny_model_config
+
+    # tiny widths matter here: orbax round-trips the whole pytree to disk
+    # several times, and a full-width ResNet state is ~45 MB per save
+    cfg = tiny_model_config(encoder_max_len=6, decoder_max_len=3)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=12)
     x = jnp.ones((1, 6), jnp.int32)
     img = jnp.zeros((1, 3, 32, 32))

@@ -82,8 +82,10 @@ def test_gier_act_dataset_and_train_step(gier_root):
     np.testing.assert_array_equal(batch["y"][0][:3], [1, 3, 2])
     assert batch["gt_params"][0, 0, 0] == pytest.approx(0.2)
 
-    cfg = ModelConfig(encoder_max_len=batch["x"].shape[1], decoder_max_len=8,
-                      hidden_size=16)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=batch["x"].shape[1],
+                            decoder_max_len=8)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=7)
     state = create_train_state(actor, jax.random.PRNGKey(0),
                                jnp.asarray(batch["x"]),
@@ -199,8 +201,10 @@ def test_gier_local_mask_training_end_to_end(gier_local_root):
                                   batch["step_masks"][0, 0, 0])
     assert batch["masks_vocab"][0, 4].min() == 1.0   # contrast: global
 
-    cfg = ModelConfig(encoder_max_len=batch["x"].shape[1], decoder_max_len=8,
-                      hidden_size=16)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=batch["x"].shape[1],
+                            decoder_max_len=8)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=7)
     state = create_train_state(actor, jax.random.PRNGKey(0),
                                jnp.asarray(batch["x"]),

@@ -52,14 +52,16 @@ def test_state_shardings_cover_adam_moments():
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from t2onet_tpu.config import ModelConfig, OperatorConfig
+    from t2onet_tpu.config import OperatorConfig
     from t2onet_tpu.data.synthetic import synthetic_vocab
     from t2onet_tpu.models.actor import Actor
     from t2onet_tpu.parallel.mesh import make_2d_mesh, state_shardings
     from t2onet_tpu.train.loop import create_train_state
 
+    from tests.conftest import tiny_model_config
+
     vocab = synthetic_vocab()
-    actor = Actor(cfg=ModelConfig(encoder_max_len=8, decoder_max_len=3),
+    actor = Actor(cfg=tiny_model_config(encoder_max_len=8, decoder_max_len=3),
                   opcfg=OperatorConfig(), vocab_size=len(vocab))
     state = create_train_state(actor, jax.random.PRNGKey(0),
                                jnp.zeros((2, 8), jnp.int32),

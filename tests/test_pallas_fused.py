@@ -98,7 +98,7 @@ def test_fused_step_grads_match_bank():
     import jax
 
     rng = np.random.default_rng(7)
-    b, h, w = 11, 16, 16
+    b, h, w = 11, 8, 8
     imgs = jnp.asarray(rng.uniform(0, 1, (b, 3, h, w)).astype(np.float32))
     # one of each vocab id 0..10: specials + all 8 executor ops
     ids = jnp.asarray((np.arange(b) % 11).astype(np.int32))
@@ -141,13 +141,15 @@ def test_episode_step_pallas_exec_trains():
     from t2onet_tpu.train.loop import create_train_state, make_episode_step
 
     vocab = synthetic_vocab()
-    actor = Actor(cfg=ModelConfig(encoder_max_len=8, decoder_max_len=3),
+    from tests.conftest import tiny_model_config
+
+    actor = Actor(cfg=tiny_model_config(encoder_max_len=8, decoder_max_len=3),
                   opcfg=OperatorConfig(), vocab_size=len(vocab))
     x = jnp.zeros((2, 8), jnp.int32).at[:, 0].set(1)
-    img = jnp.full((2, 3, 16, 16), 0.4)
+    img = jnp.full((2, 3, 8, 8), 0.4)      # interpret mode: py-eval per step
     state = create_train_state(actor, jax.random.PRNGKey(0), x, img)
     step = make_episode_step(actor, donate=False, pallas_exec=True)
-    batch = {"x": x, "img_x": img, "gt_img": jnp.full((2, 3, 16, 16), 0.6)}
+    batch = {"x": x, "img_x": img, "gt_img": jnp.full((2, 3, 8, 8), 0.6)}
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["L1_loss"]))
     changed = any(

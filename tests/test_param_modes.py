@@ -109,8 +109,10 @@ def _tiny_actor(discrete=False):
     from t2onet_tpu.models.actor import Actor
 
     vocab = synthetic_vocab()
-    cfg = ModelConfig(encoder_max_len=8, decoder_max_len=3,
-                      discrete_param=discrete)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=8, decoder_max_len=3,
+                            discrete_param=discrete)
     actor = Actor(cfg=cfg, opcfg=CFG, vocab_size=len(vocab))
     ds = SyntheticFiveK(n=2, img_size=16, seed=0, req_max_len=8)
     b = next(ds.batches(batch_size=2, steps=1, shuffle=False))

@@ -44,8 +44,8 @@ def test_two_worker_fanout_end_to_end(tmp_path):
     out = str(tmp_path / "actions")
     cmd = [sys.executable, "-m", "t2onet_tpu.cli.plan_fleet",
            "--synthetic", "--synthetic_n", "4", "--total", "4",
-           "--workers", "2", "--worker_cpu", "--img_size", "32",
-           "--out_dir", out, "--n_iters", "20", "--n_starts", "1",
+           "--workers", "2", "--worker_cpu", "--img_size", "16",
+           "--out_dir", out, "--n_iters", "8", "--n_starts", "1",
            "--beam_size", "2"]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,

@@ -15,7 +15,9 @@ from t2onet_tpu.serve import MicroBatcher, ServingEngine, program_slots
 @pytest.fixture(scope="module")
 def _parts():
     vocab = synthetic_vocab()
-    cfg = ModelConfig(encoder_max_len=12, decoder_max_len=5)
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=12, decoder_max_len=5)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=len(vocab))
     ds = SyntheticFiveK(n=2, img_size=32, seed=0, req_max_len=12)
     b = next(ds.batches(batch_size=2, steps=1, shuffle=False))

@@ -22,9 +22,11 @@ IMG = 32
 
 @pytest.fixture(scope="module")
 def setup():
+    from tests.conftest import tiny_model_config
+
     vocab = synthetic_vocab()
     ds = SyntheticFiveK(n=32, img_size=IMG, seed=0, req_max_len=12)
-    cfg = ModelConfig(encoder_max_len=12, decoder_max_len=5, hidden_size=32)
+    cfg = tiny_model_config(encoder_max_len=12, decoder_max_len=5)
     actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=len(vocab))
     batch = next(ds.batches(batch_size=8, steps=1))
     state = create_train_state(
@@ -33,13 +35,21 @@ def setup():
     return actor, state, ds
 
 
+@pytest.fixture(scope="module")
+def sup_step(setup):
+    """ONE traced supervised step shared by every test in this module
+    (each make_supervised_step call would retrace the whole train step)."""
+    actor, _, _ = setup
+    return make_supervised_step(actor, donate=False)
+
+
 def _to_jnp(batch):
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
 
 
-def test_supervised_step_decreases_loss(setup):
+def test_supervised_step_decreases_loss(setup, sup_step):
     actor, state, ds = setup
-    step = make_supervised_step(actor, donate=False)
+    step = sup_step
     losses = []
     for batch in ds.batches(batch_size=8, steps=6):
         state, m = step(state, _to_jnp(batch))
@@ -62,7 +72,7 @@ def test_episode_step_runs(setup):
     assert sum(jax.tree_util.tree_leaves(diff)) > 0
 
 
-def test_supervised_step_sharded_over_mesh(setup):
+def test_supervised_step_sharded_over_mesh(setup, sup_step):
     """Data-parallel supervised step over the 8-device CPU mesh."""
     actor, state, ds = setup
     mesh = make_mesh()
@@ -73,8 +83,7 @@ def test_supervised_step_sharded_over_mesh(setup):
     state2, m = step(state, sharded)
     assert np.isfinite(float(m["loss"]))
     # compare against unsharded step: same loss
-    step_local = make_supervised_step(actor, donate=False)
-    _, m_local = step_local(state, _to_jnp(batch))
+    _, m_local = sup_step(state, _to_jnp(batch))
     np.testing.assert_allclose(float(m["loss"]), float(m_local["loss"]),
                                rtol=2e-4)
 
@@ -92,12 +101,12 @@ def test_supervised_losses_masking():
     assert float(param_loss) == 0.0
 
 
-def test_supervised_step_deterministic(setup):
+def test_supervised_step_deterministic(setup, sup_step):
     """Same seed + data -> bitwise-identical losses (the reference's only
     determinism control is cudnn flags, fiveK_base_options.py:78-84; here
     XLA gives it for free — pinned by this test)."""
     actor, state, ds = setup
-    step = make_supervised_step(actor, donate=False)
+    step = sup_step
     batch = _to_jnp(next(ds.batches(batch_size=8, steps=1, shuffle=False)))
     _, m1 = step(state, batch)
     _, m2 = step(state, batch)
