@@ -187,12 +187,14 @@ def test_param_heads_match_torch():
             np.testing.assert_allclose(raw[:, i, :k], t.numpy(), atol=2e-5)
 
 
-def test_full_convert_runs_episode():
-    """Build a full random torch state_dict with reference naming, convert,
-    and run a greedy episode end-to-end."""
+def build_reference_state_dict(vocab=23, wv=300, hid=256):
+    """A full random torch state_dict with the reference's exact naming
+    (model.pth layout) — shared by the conversion tests and the
+    cli.convert round-trip test. wv/hid parameterize the language dims
+    (the reference's 300/256); the ResNet side is fixed 64..512 exactly
+    like actor_resnet.py."""
     torch.manual_seed(5)
     sd = {}
-    vocab, wv, hid = 23, 300, 256
 
     def lin(prefix, i, o):
         m = torch.nn.Linear(i, o)
@@ -204,13 +206,18 @@ def test_full_convert_runs_episode():
                         bidirectional=True)
     for k, v in rnn.state_dict().items():
         sd[f"lang_encoder.rnn.{k}"] = v
+    dh = 2 * hid                       # decoder hidden (cat of directions)
     sd["decoder.embedding.weight"] = torch.randn(11, wv) * 0.1
-    drnn = torch.nn.LSTM(wv + 512, 512, num_layers=2, batch_first=True)
+    # LSTM input = [word_emb ; relu(vis_linear(img_feat))] -> wv + dh
+    drnn = torch.nn.LSTM(wv + dh, dh, num_layers=2, batch_first=True)
     for k, v in drnn.state_dict().items():
         sd[f"decoder.rnn.{k}"] = v
-    lin("decoder.vis_linear", 512, 512)
-    lin("decoder.out_linear", 512, 11)
-    lin("decoder.attention.linear_out", 1024, 512)
+    # reference vis_linear is Linear(hidden, hidden) applied to the 512-d
+    # img_feat — consistent only because 2*hidden == vis_feat == 512 at
+    # the config of record (action_decoder.py:31,52); emit (512 -> dh)
+    lin("decoder.vis_linear", 512, dh)
+    lin("decoder.out_linear", dh, 11)
+    lin("decoder.attention.linear_out", 2 * dh, dh)
 
     # ResNet18
     def conv_bn(prefix, i, o, k):
@@ -240,9 +247,16 @@ def test_full_convert_runs_episode():
     names = ["brightness_op", "contrast_op", "saturation_op", "color_op",
              "inpaint_op", "tone_op", "sharpness_op", "white_op"]
     for name, k in zip(names, [1, 1, 1, 24, 1, 8, 1, 1]):
-        lin(f"executor.{name}.fc1", 512, 512)
+        lin(f"executor.{name}.fc1", dh, 512)
         lin(f"executor.{name}.fc2", 512, k)
+    return sd
 
+
+def test_full_convert_runs_episode():
+    """Convert the reference-named state_dict and run a greedy episode
+    end-to-end."""
+    vocab = 23
+    sd = build_reference_state_dict(vocab)
     params, stats = convert_state_dict(sd)
 
     from t2onet_tpu.config import ModelConfig, OperatorConfig
