@@ -103,8 +103,9 @@ def train_bench(batch=64, size=128, iters=10):
     sup_step = make_supervised_step(actor, donate=False)
     # production TPU config: episode ops through the fused Pallas step
     # kernel (custom VJP, selected branch fwd+bwd) — same gradients as
-    # the one-hot bank, ~1.5x faster episode steps
-    pallas = jax.default_backend() != "cpu"
+    # the one-hot bank, ~1.5x faster episode steps. Mosaic is TPU-only
+    # (matches cli/train_fivek.py's auto gate; CPU uses the bank)
+    pallas = jax.default_backend() == "tpu"
     epi_step = make_episode_step(actor, donate=False, pallas_exec=pallas)
     rng = jax.random.PRNGKey(1)
 

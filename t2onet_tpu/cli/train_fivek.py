@@ -64,8 +64,9 @@ def main(argv=None):
                    help="episode phase executes ops via the fused Pallas "
                         "step kernel (custom VJP, selected branch only — "
                         "~1.5x faster episode steps, identical gradients). "
-                        "-1 (default): auto — on for TPU backends, off on "
-                        "CPU where only the slow interpreter exists")
+                        "-1 (default): auto — on for SINGLE-CHIP TPU runs; "
+                        "off on CPU (only the slow interpreter exists) and "
+                        "under --data_parallel meshes (pass 1 to force)")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
@@ -105,6 +106,10 @@ def main(argv=None):
                                     with_masks=use_masks)
     pallas_exec = (jax.default_backend() == "tpu" and mesh is None
                    if a.pallas_exec == -1 else bool(a.pallas_exec))
+    print(f"episode executor: "
+          f"{'fused Pallas step kernel' if pallas_exec else 'one-hot bank'}"
+          + (" (auto: pallas needs a single-chip TPU run)"
+             if a.pallas_exec == -1 and not pallas_exec else ""))
     epi_step = make_episode_step(actor, mesh=mesh, sample=True,
                                  with_masks=use_masks,
                                  pallas_exec=pallas_exec)

@@ -66,6 +66,19 @@ class ModelConfig:
     # matching the configs of record)
     discrete_param: bool = False
     discrete_step: int = 10
+
+    @classmethod
+    def tiny(cls, **overrides) -> "ModelConfig":
+        """A structurally-complete but narrow config for smoke tests and
+        dry runs: every architectural feature of the config of record
+        (2-layer bidirectional LSTM, attention, 8-op heads, ResNet-18
+        depth) at ~10-100x narrower widths. Used by tests/conftest.py's
+        tiny_model_config and __graft_entry__.dryrun_multichip so the
+        two can never drift apart."""
+        kw = dict(hidden_size=16, word_vec_dim=16, operator_fc_dim=16,
+                  vis_feat_dim=32, resnet_widths=(8, 8, 16, 16))
+        kw.update(overrides)
+        return cls(**kw)
     # Reference-exact batched attention: the reference's Attention has NO
     # length masking (models/attention.py:37-38) — padded positions up to
     # the batch-max request length hold zero encoder outputs (score 0)

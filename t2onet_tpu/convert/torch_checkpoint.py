@@ -203,13 +203,6 @@ def convert_gan_state_dict(sd: Dict, num_D: int = 2, n_layers_D: int = 3,
     return actor, bundle
 
 
-def _convt(x):
-    # torch ConvTranspose2d weight (I, O, kH, kW) -> flax
-    # ConvTranspose(transpose_kernel=True) kernel (kH, kW, O, I); both
-    # implement gradient-of-conv semantics so no spatial flip is needed
-    return np.ascontiguousarray(np.asarray(x, np.float32).transpose(2, 3, 1, 0))
-
-
 def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
     """Convert a torch pix2pixHD generator state_dict (GlobalGenerator /
     LocalEnhancer / Encoder, reference networks.py:130-291) into the flax
@@ -221,10 +214,13 @@ def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
     LocalEnhancer branches `model{n}_1.{idx}.*` / `model{n}_2.{idx}.*`.
     Instance norm is affine=False — no norm entries exist. Our flax
     layers are named for exactly these indices (m{idx} / c{idx}), so the
-    rename is mechanical; `ref_params` (a module.init params tree)
-    supplies the expected kernel shape that distinguishes a strided Conv
-    (OIHW) from a ConvTranspose (IOHW) — their channel counts differ in
-    every pix2pixHD position.
+    rename is mechanical. ONE weight permutation covers both layer
+    kinds: torch Conv2d stores (O, I, kH, kW) and flax Conv wants
+    (kH, kW, I, O); torch ConvTranspose2d stores (I, O, kH, kW) and
+    flax ConvTranspose(transpose_kernel=True) wants (kH, kW, O, I) —
+    the same transpose(2, 3, 1, 0) in both cases. `ref_params` (a
+    module.init params tree) supplies the expected shapes as a
+    conversion-correctness check.
     """
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                         else v, np.float32) for k, v in sd.items()}
@@ -260,12 +256,11 @@ def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
             out[path + ("bias",)] = w
             continue
         want = flat_ref[path + ("kernel",)].shape
-        conv = _conv(w)
-        out[path + ("kernel",)] = conv if conv.shape == tuple(want) \
-            else _convt(w)
+        out[path + ("kernel",)] = _conv(w)
         if out[path + ("kernel",)].shape != tuple(want):
-            raise ValueError(f"{key}: torch shape {w.shape} fits neither "
-                             f"Conv nor ConvTranspose layout {want}")
+            raise ValueError(f"{key}: torch shape {w.shape} converts to "
+                             f"{out[path + ('kernel',)].shape}, expected "
+                             f"{want}")
     missing = set(flat_ref) - set(out)
     if missing:
         raise KeyError(f"state_dict missing params for {sorted(missing)[:5]}")

@@ -174,10 +174,14 @@ class Encoder(nn.Module):
     output_nc feature planes, then instance-wise average pooling so
     every pixel of an instance carries that instance's mean feature.
 
-    The reference's host loop over np.unique(inst) becomes a one-hot
-    segment mean with a static instance-id bound `n_instances` (ids are
-    assumed in [0, n_instances)); background/absent ids contribute
-    nothing (guarded divide)."""
+    The reference's host loop over np.unique(inst) becomes a
+    jit-compatible segment mean over `jnp.unique(..., size=n_instances)`:
+    ids may be ARBITRARY integers (e.g. the pix2pixHD cityscapes
+    convention class*1000+index, ids like 26002) — only the number of
+    DISTINCT ids per image is bounded by the static `n_instances`.
+    Images with more distinct ids than that lose the overflow ids'
+    pixels to zeros (matching one-hot-out-of-range semantics); raise
+    `n_instances` to cover the data."""
 
     output_nc: int = 3
     ngf: int = 32
@@ -204,15 +208,23 @@ class Encoder(nn.Module):
         h = jnp.tanh(_conv(self.output_nc, 7, f"m{idx + 1}")(h))
         out = jnp.transpose(h, (0, 3, 1, 2))          # (B, C, H, W)
 
-        # instance-wise average pooling (networks.py:279-291)
+        # instance-wise average pooling (networks.py:279-291): per image,
+        # compact the arbitrary id VALUES to dense slots via sized unique
+        # (fill slot value -1 never matches a real id)
         inst = inst.reshape(inst.shape[0], inst.shape[-2],
                             inst.shape[-1]).astype(jnp.int32)
-        onehot = jax.nn.one_hot(inst, self.n_instances,
-                                dtype=out.dtype)      # (B, H, W, N)
-        counts = onehot.sum(axis=(1, 2))              # (B, N)
-        sums = jnp.einsum("bchw,bhwn->bcn", out, onehot)
-        means = sums / jnp.maximum(counts[:, None, :], 1.0)
-        return jnp.einsum("bcn,bhwn->bchw", means, onehot)
+
+        def pool_one(feat, ids):                      # (C,H,W), (H,W)
+            uniq = jnp.unique(ids, size=self.n_instances,
+                              fill_value=-1)          # (N,)
+            onehot = (ids[:, :, None] == uniq[None, None, :]
+                      ).astype(feat.dtype)            # (H, W, N)
+            counts = onehot.sum(axis=(0, 1))          # (N,)
+            sums = jnp.einsum("chw,hwn->cn", feat, onehot)
+            means = sums / jnp.maximum(counts[None, :], 1.0)
+            return jnp.einsum("cn,hwn->chw", means, onehot)
+
+        return jax.vmap(pool_one)(out, inst)
 
 
 def _avg_pool_3s2_nchw(x):

@@ -42,19 +42,13 @@ def pytest_collection_modifyitems(items):
 
 
 def tiny_model_config(**overrides):
-    """A structurally-complete but narrow ModelConfig for smoke tests.
-
-    Keeps every architectural feature of the config of record (2-layer
-    bidirectional LSTM, attention, 8-op heads, ResNet-18 depth) but
-    shrinks the widths ~10-100x: whole-train-step compiles on this
-    1-core CI host drop from tens of seconds to a few. Tests that pin
-    NUMERICS against torch or the reference must keep real dims."""
+    """ModelConfig.tiny: structurally complete, ~10-100x narrower widths.
+    Whole-train-step compiles on this 1-core CI host drop from tens of
+    seconds to a few. Tests that pin NUMERICS against torch or the
+    reference must keep real dims."""
     from t2onet_tpu.config import ModelConfig
 
-    kw = dict(hidden_size=16, word_vec_dim=16, operator_fc_dim=16,
-              vis_feat_dim=32, resnet_widths=(8, 8, 16, 16))
-    kw.update(overrides)
-    return ModelConfig(**kw)
+    return ModelConfig.tiny(**overrides)
 
 
 @pytest.fixture

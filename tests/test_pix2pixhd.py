@@ -98,6 +98,31 @@ def test_encoder_parity(rng):
     _parity(ref, ours, x, extra=(inst,))
 
 
+def test_encoder_arbitrary_instance_ids(rng):
+    """Instance ids may be arbitrary integers (cityscapes convention
+    class*1000+index, e.g. 26002) — pooling must average per distinct id,
+    not silently zero out-of-range ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from t2onet_tpu.models.pix2pixhd import Encoder
+
+    enc = Encoder(output_nc=3, ngf=4, n_downsampling=1, n_instances=4)
+    x = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    inst = np.full((1, 1, 16, 16), 26002, np.float32)
+    inst[:, :, :, 8:] = 24001                  # two big distinct ids
+    v = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(inst))
+    out = np.asarray(enc.apply(v, jnp.asarray(x), jnp.asarray(inst)))
+    assert np.abs(out).max() > 0               # not silently zeroed
+    # within each instance the pooled feature is constant
+    for sl in (np.s_[:, :, :, :8], np.s_[:, :, :, 8:]):
+        region = out[sl]
+        assert np.allclose(region, region[:, :, :1, :1], atol=1e-6)
+    # and the two instances differ
+    assert not np.allclose(out[:, :, :, :8].mean(axis=(2, 3)),
+                           out[:, :, :, 8:].mean(axis=(2, 3)), atol=1e-7)
+
+
 def test_define_generator_factory():
     from t2onet_tpu.models.pix2pixhd import (Encoder, GlobalGenerator,
                                              LocalEnhancer,
