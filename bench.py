@@ -12,8 +12,11 @@ dispatch can't fake the number and the host<->device round-trip is
 amortized across the chain. (block_until_ready through the axon tunnel
 returns early; a data-dependent readback is the only honest barrier.)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000}
+Prints one JSON line PER METRIC on stdout (everything else on stderr):
+first the training-step throughput, LAST the headline kernel line
+  {"metric": "512px operator applications/sec/chip", "value": N,
+   "unit": ..., "vs_baseline": N/10000}
+so tail-line parsers read the headline metric.
 """
 
 import json

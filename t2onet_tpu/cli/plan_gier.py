@@ -101,17 +101,19 @@ def main(argv=None):
 
         buf, buf_ids = [], []
         pair_ids = list(pair_ids)
-        last_id = pair_ids[-1]
+        last_id = pair_ids[-1] if pair_ids else None
         for pair_id in pair_ids:
             buf.append(load_pair(pair_id))
             buf_ids.append(pair_id)
             if len(buf) >= a.pair_batch or pair_id == last_id:
                 I0 = np.concatenate([b[0] for b in buf])
                 Igt = np.concatenate([b[1] for b in buf])
-                # seed from the batch's first pair id so batched and
-                # single-pair planning draw aligned random restarts
+                # seed = manual_seed + first pair id: reproducible under
+                # --manual_seed and varying per batch. (Batched restarts
+                # are drawn jointly across the batch, so they are NOT
+                # draw-for-draw identical to the single-pair path's.)
                 results = batch_beam_search(
-                    I0, Igt, seed=buf_ids[0],
+                    I0, Igt, seed=a.manual_seed + buf_ids[0],
                     op_masks=[b[3] for b in buf], **kw)
                 for (actions, images), b in zip(results, buf):
                     write_item(b[4], b[2], b[0], b[1], actions, images)

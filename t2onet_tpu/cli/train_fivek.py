@@ -96,14 +96,15 @@ def main(argv=None):
 
     logger = common.ScalarLogger(run_dir)
     # GIER local editing: thread the gt masks emitted by
-    # GIERDatasetAct.batches(is_load_mask) into both phases
+    # GIERDatasetAct.batches(is_load_mask) into the episode phase
     use_masks = bool(getattr(a, "is_load_mask", 0)) and "step_masks" in sample
     if getattr(a, "is_load_mask", 0) and not use_masks:
         print("warning: --is_load_mask set but the dataset emitted no "
               "masks (no mask annotations?) — training global-only")
+    # masks only reach the EPISODE phase: the supervised loss never
+    # consumes executed images (see make_supervised_step docstring)
     sup_step = make_supervised_step(actor, mesh=mesh,
-                                    per_step_bn=a.per_step_bn,
-                                    with_masks=use_masks)
+                                    per_step_bn=a.per_step_bn)
     pallas_exec = (jax.default_backend() == "tpu" and mesh is None
                    if a.pallas_exec == -1 else bool(a.pallas_exec))
     print(f"episode executor: "
@@ -145,8 +146,7 @@ def main(argv=None):
             _prof.start_trace(os.path.join(run_dir, "profile"))
             prof_open = True
         if a.fs_only or itr % 2 == 1:       # supervised phase
-            keys = ("x", "y", "img_x", "img_y", "gt_params") + (
-                ("step_masks",) if use_masks else ())
+            keys = ("x", "y", "img_x", "img_y", "gt_params")
             state, m = sup_step(state, {k: jb[k] for k in keys})
         else:                  # episode L1 phase
             rng, sub = jax.random.split(rng)

@@ -288,10 +288,13 @@ class GIERDataset:
         data.fivek.FiveK.batches. Requires fixed image shapes
         (phase='train' or eval_img_mode='train_size')."""
         if batch_size > len(self):
-            raise ValueError(
-                f"batch_size {batch_size} > dataset size {len(self)}: an "
-                "undersized batch would change the jitted step's compiled "
-                "shapes — lower batch_size (or widen data_mode)")
+            # clamp, don't raise: a small val split must not kill the
+            # training run at its first evaluation. The clamped size is
+            # the SAME every call, so the jitted eval step still sees one
+            # stable compiled shape.
+            print(f"warning: batch_size {batch_size} > dataset size "
+                  f"{len(self)} — clamping to {len(self)}")
+            batch_size = len(self)
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)
@@ -350,10 +353,13 @@ class GIERDatasetAct(GIERDataset):
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
         if batch_size > len(self):
-            raise ValueError(
-                f"batch_size {batch_size} > dataset size {len(self)}: an "
-                "undersized batch would change the jitted step's compiled "
-                "shapes — lower batch_size (or widen data_mode)")
+            # clamp, don't raise: a small val split must not kill the
+            # training run at its first evaluation. The clamped size is
+            # the SAME every call, so the jitted eval step still sees one
+            # stable compiled shape.
+            print(f"warning: batch_size {batch_size} > dataset size "
+                  f"{len(self)} — clamping to {len(self)}")
+            batch_size = len(self)
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)

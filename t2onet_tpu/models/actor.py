@@ -294,8 +294,11 @@ class Actor(nn.Module):
         # XLA compile time/memory ~5x for the episode train step (the
         # dominant cost on both CPU-mesh CI and first TPU compile). This is
         # the SURVEY §7 "episode_scan": no host round-trips, one graph.
-        use_rng = rng is not None
-        key0 = rng if use_rng else jax.random.PRNGKey(0)
+        if sample and rng is None:
+            raise ValueError(
+                "episode(sample=True) needs an explicit rng: a silent "
+                "default key would make every 'random' rollout identical")
+        key0 = rng if rng is not None else jax.random.PRNGKey(0)
 
         def step(mdl, carry, _):
             img, pred_op, op_mask, dec_carry, key = carry

@@ -123,17 +123,22 @@ def episode_l1_loss(imgs, ops, gt_img, end_id: int = 2):
 # ---------------------------------------------------------------------------
 
 def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
-                         per_step_bn: bool = False, state_sharding=None,
-                         with_masks: bool = False):
+                         per_step_bn: bool = False, state_sharding=None):
     """Build the jitted supervised step.
 
     batch: dict(x (B,L) int32, y (B,T) int32, img_x (B,3,H,W),
-                img_y (B,T-1,3,H,W), gt_params (B,T-2,24)
-                [+ step_masks (B,T-2,1,H,W) when with_masks])
+                img_y (B,T-1,3,H,W), gt_params (B,T-2,24))
     per_step_bn: reference-exact per-step BatchNorm statistics
     (see Actor.supervised).
-    with_masks: thread the GIER local-editing gt masks
-    (GIERDatasetAct.batches is_load_mask output) into the executor.
+
+    GIER local-edit masks are deliberately NOT an input here: the
+    supervised loss (NLL + param MSE, reference train_seq2seqL1.py:56-61)
+    never consumes executed images — in the reference the masked image
+    execution inside supervised_forward is dead compute, and here it is
+    skipped entirely (Actor.supervised with_images=False). Masks affect
+    training only through the episode phase (make_episode_step
+    with_masks). Shipping a (B,T-2,1,H,W) mask tensor into this step
+    would be pure host->device traffic that XLA DCEs.
     """
 
     discrete = actor.cfg.discrete_param
@@ -144,7 +149,6 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["y"], batch["img_x"], batch["img_y"],
                 train=True, per_step_bn=per_step_bn,
-                step_masks=batch["step_masks"] if with_masks else None,
                 mutable=["batch_stats"],
                 method=Actor.supervised)
             pi, pred_params, logprobs = out[:3]

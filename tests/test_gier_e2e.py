@@ -226,8 +226,10 @@ def test_gier_local_mask_training_end_to_end(gier_local_root):
     assert float((np.abs(np.asarray(pred_imgs)[:, 0] - batch["img_x"])
                   * inside).max()) > 1e-4
 
-    # masked supervised training decreases the loss
-    step = make_supervised_step(actor, donate=False, with_masks=True)
+    # supervised training on the masked dataset decreases the loss
+    # (masks themselves only influence the EPISODE phase; the supervised
+    # loss never consumes executed images — see make_supervised_step)
+    step = make_supervised_step(actor, donate=False)
     jb = {k: jnp.asarray(v) for k, v in batch.items()
           if k not in ("req", "masks_vocab")}
     losses = []
