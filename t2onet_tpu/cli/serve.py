@@ -158,6 +158,9 @@ def make_http_handler(engine):
                 if not pending.done.wait(timeout=120):
                     self._reply(504, {"error": "timed out"})
                     return
+                if pending.error is not None:
+                    self._reply(500, {"error": str(pending.error)})
+                    return
                 r = pending.result
                 self._reply(200, {
                     "image_b64": _png_b64(r.image),

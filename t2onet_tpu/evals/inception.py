@@ -233,13 +233,21 @@ def make_features_fn(variables, resize: bool = True,
     model = InceptionV3Features(fid_variant=fid_variant)
 
     @jax.jit
-    def features(imgs):
-        x = imgs
-        if resize:
-            x = jax.image.resize(x, (x.shape[0], 3, 299, 299), "bilinear")
+    def run(x):
         if normalize:
             x = 2.0 * x - 1.0
         return model.apply(variables, x)
+
+    def features(imgs):
+        # resize OUTSIDE the jitted network: native-resolution eval feeds
+        # per-sample shapes, and a shape-polymorphic jit would recompile
+        # the full 20M-param InceptionV3 per distinct aspect ratio. The
+        # eager resize costs one tiny compile per shape; `run` compiles
+        # once at the fixed (N, 3, 299, 299).
+        if resize and imgs.shape[-2:] != (299, 299):
+            imgs = jax.image.resize(
+                imgs, (imgs.shape[0], 3, 299, 299), "bilinear")
+        return run(imgs)
 
     return features
 

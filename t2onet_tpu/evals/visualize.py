@@ -77,11 +77,13 @@ def update_web_row(webpage, sample_id: int, request: str,
 
     if attn is not None:
         name = f"{sample_id:05d}_attn.png"
-        # tokenize exactly as the encoder consumed the request — raw
-        # split() can misalign x-labels with the attended positions
+        # label exactly the positions the encoder consumed: txt2idx
+        # builds [START, w1..wk, END, pads] (data/text.py), so column 0
+        # is START attention and the last labeled column is END — raw
+        # split() (or unshifted parse_sent) misattributes every column
         from t2onet_tpu.data.text import parse_sent
 
-        toks = parse_sent(request)
+        toks = ["<s>"] + parse_sent(request) + ["</s>"]
         ops_names = [str(id2op.get(int(o), o)) for o in ops]
         show_attention(toks, ops_names, attn, os.path.join(img_dir, name))
         ims.append(name)

@@ -39,7 +39,6 @@ import numpy as np
 
 from t2onet_tpu.data.text import txt2idx
 from t2onet_tpu.evals.bucketing import bucket_shape, pad_to_bucket
-from t2onet_tpu.ops.bank import MAX_PARAM
 
 END_ID = 2
 
@@ -75,6 +74,7 @@ class _Pending:
     t_submit: float
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[EditResult] = None
+    error: Optional[BaseException] = None
 
 
 class ServingEngine:
@@ -190,13 +190,28 @@ class ServingEngine:
         return txt2idx(request, self.vocab2id, self.encoder_max_len)[0] \
             .astype(np.int32)
 
+    def _prep_img(self, image) -> np.ndarray:
+        """f32 [0,1] CHW; images whose long side exceeds max_side are
+        DOWNSCALED (aspect preserved) — never silently cropped."""
+        img = np.asarray(image, np.float32)
+        h, w = img.shape[1], img.shape[2]
+        long_side = max(h, w)
+        if long_side > self.max_side:
+            from t2onet_tpu.native import resize_bilinear
+
+            scale = self.max_side / long_side
+            nh, nw = max(round(h * scale), 1), max(round(w * scale), 1)
+            hwc = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))
+            img = np.transpose(resize_bilinear(hwc, nh, nw), (2, 0, 1))
+        return img
+
     # -- batch path -------------------------------------------------------
     def edit_batch(self, images: Sequence[np.ndarray],
                    requests: Sequence[str]) -> List[EditResult]:
         """Edit (3, h, w) f32 images per their language requests; images
         of the same bucket execute together. Order preserved."""
         pending = [
-            _Pending(img=np.asarray(im, np.float32),
+            _Pending(img=self._prep_img(im),
                      x_idx=self._tokenize(req), t_submit=time.time())
             for im, req in zip(images, requests)
         ]
@@ -206,23 +221,40 @@ class ServingEngine:
     def submit(self, image: np.ndarray, request: str) -> _Pending:
         """Enqueue one request; returns a handle with .done / .result.
         Call flush() (or let the HTTP batcher do it) to process."""
-        p = _Pending(img=np.asarray(image, np.float32),
+        p = _Pending(img=self._prep_img(image),
                      x_idx=self._tokenize(request), t_submit=time.time())
         with self._lock:
             self._queue.append(p)
         return p
 
     def flush(self) -> int:
-        """Process everything queued; returns number of requests served."""
+        """Process everything queued; returns number of requests served.
+
+        Never lets an exception kill the caller (the MicroBatcher thread):
+        a failed batch marks every still-unserved request with .error and
+        sets .done so waiters unblock — the server stays alive."""
         with self._lock:
             todo, self._queue = self._queue, []
         if todo:
-            self._process(todo)
+            try:
+                self._process(todo)
+            except BaseException as e:  # noqa: BLE001 — serving boundary
+                import traceback
+
+                traceback.print_exc()
+                for p in todo:
+                    if p.result is None and not p.done.is_set():
+                        p.error = e
+                        p.done.set()
         return len(todo)
 
     def queue_depth(self) -> int:
         with self._lock:
             return len(self._queue)
+
+    def oldest_submit(self) -> Optional[float]:
+        with self._lock:
+            return min((p.t_submit for p in self._queue), default=None)
 
     # -- internals ---------------------------------------------------------
     def _process(self, pending: List[_Pending]) -> None:
@@ -252,17 +284,23 @@ class ServingEngine:
                                                   self.max_side)
                     natives.append(padded)
                     valids.append(valid)
-                native = np.stack(natives + [natives[-1]] * pad)
+                stack = np.stack(natives + [natives[-1]] * pad)   # f32
                 if self.u8_wire:
-                    native = np.round(native * 255.0).astype(np.uint8)
+                    # clip BEFORE the cast: uint8 wraps modulo 256, so an
+                    # out-of-range caller value (e.g. 1.2) would otherwise
+                    # become near-black garbage instead of saturating
+                    native = np.round(np.clip(stack, 0.0, 1.0)
+                                      * 255.0).astype(np.uint8)
+                else:
+                    native = stack
                 x = np.stack([p.x_idx for p in chunk]
                              + [chunk[-1].x_idx] * pad)
 
                 if self.decode_native:
-                    dec_in = np.stack(natives + [natives[-1]] * pad)
+                    dec_in = stack
                 else:
-                    dec_in = np.stack([self._probe_view(p.img) for p in chunk]
-                                      + [self._probe_view(chunk[-1].img)] * pad)
+                    probes = [self._probe_view(p.img) for p in chunk]
+                    dec_in = np.stack(probes + [probes[-1]] * pad)
                 ops, params = self._decode_jit(
                     self.variables, jnp.asarray(x), jnp.asarray(dec_in))
                 out = self._execute_jit(jnp.asarray(native),
@@ -292,10 +330,12 @@ class ServingEngine:
                     ops=names, params=plist, bucket=bucket,
                     latency_s=time.time() - p.t_submit)
                 p.done.set()
-            self.stats["requests"] += len(chunk)
-            self.stats["batches"] += 1
-        self.stats["launch_s"] += t1 - t0
-        self.stats["sync_s"] += time.time() - t1
+            with self._lock:                   # /healthz reads concurrently
+                self.stats["requests"] += len(chunk)
+                self.stats["batches"] += 1
+        with self._lock:
+            self.stats["launch_s"] += t1 - t0
+            self.stats["sync_s"] += time.time() - t1
 
     def warmup(self, buckets: Sequence[Tuple[int, int]] = ((512, 512),)):
         """Pre-compile the decode graph and one execute graph per bucket."""
@@ -325,18 +365,17 @@ class MicroBatcher:
         self.engine.flush()
 
     def _run(self):
-        oldest: Optional[float] = None
         while not self._stop.is_set():
             depth = self.engine.queue_depth()
             if depth == 0:
-                oldest = None
                 time.sleep(self.linger_s / 4 if self.linger_s else 1e-3)
                 continue
-            if oldest is None:
-                oldest = time.time()
+            # linger is measured from the OLDEST request's submit time, so
+            # the documented linger_ms bound holds regardless of when the
+            # polling loop first observed the queue
+            oldest = self.engine.oldest_submit() or time.time()
             if (depth >= self.engine.max_batch
                     or time.time() - oldest >= self.linger_s):
                 self.engine.flush()
-                oldest = None
             else:
                 time.sleep(self.linger_s / 4)

@@ -162,3 +162,36 @@ def test_submit_flush_and_microbatcher(engine):
         batcher.stop()
     assert p1.result is not None and p2.result is not None
     assert engine.queue_depth() == 0
+
+
+def test_oversize_image_downscaled_not_cropped(_parts):
+    """Images beyond max_side are aspect-preserving DOWNSCALED (a silent
+    top-left crop would return a corner of the photo)."""
+    actor, variables, vocab = _parts
+    eng = ServingEngine(actor, variables, vocab, decode_size=32,
+                        quantum=32, max_batch=2, encoder_max_len=12,
+                        u8_wire=False, max_side=64)
+    img = np.tile(np.linspace(0.1, 0.9, 150, dtype=np.float32),
+                  (3, 100, 1))                        # (3, 100, 150)
+    [r] = eng.edit_batch([img], ["increase the brightness"])
+    assert r.image.shape == (3, 43, 64)               # 150 -> 64 long side
+    # the full gradient survives (a crop would truncate the bright end)
+    assert float(r.image[:, :, -1].mean()) > float(r.image[:, :, 0].mean())
+
+
+def test_flush_failure_marks_pending_not_kills_caller(_parts):
+    """A failing batch must unblock waiters with .error set — the
+    MicroBatcher thread (and HTTP clients) survive bad requests."""
+    actor, variables, vocab = _parts
+    eng = ServingEngine(actor, variables, vocab, decode_size=32,
+                        quantum=32, max_batch=2, encoder_max_len=12,
+                        u8_wire=False)
+
+    def boom(pending):
+        raise RuntimeError("kaboom")
+
+    eng._process = boom
+    p = eng.submit(np.full((3, 32, 32), 0.5, np.float32), "brighten")
+    assert eng.flush() == 1                           # does not raise
+    assert p.done.is_set() and isinstance(p.error, RuntimeError)
+    assert p.result is None
