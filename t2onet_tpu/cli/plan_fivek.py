@@ -157,9 +157,13 @@ def main(argv=None):
 
         from t2onet_tpu.data.fivek import FiveK
 
+        # train_size: planning fits need ONE compiled shape (native-res
+        # val/test images would crash the batched concatenate and retrace
+        # the fitter per aspect ratio)
         ds = FiveK(os.path.join(a.data_dir, "FiveK", "images"),
                    os.path.join(a.data_dir, "FiveK", "annotations"),
-                   a.phase, a.session, a.img_size)
+                   a.phase, a.session, a.img_size,
+                   eval_img_mode="train_size")
         vocab2id = w2v = None          # loaded only by the disc distance
 
         def pairs():
@@ -168,7 +172,8 @@ def main(argv=None):
                 yield img_x[None], img_y[None], req
 
     kw = dict(beam_size=a.beam_size, err=a.err, mode=a.mode,
-              n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr)
+              n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr,
+              seed=a.manual_seed)
     score_aux_fn = None
     if a.dist_type.lower() in (DISC_DIST, "disc"):
         if a.pair_batch > 1:

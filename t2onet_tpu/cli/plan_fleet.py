@@ -86,7 +86,9 @@ def build_parser():
     p.add_argument("--n_iters", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--pair_batch", type=int, default=1)
-    p.add_argument("--dist_type", default="l1")
+    p.add_argument("--dist_type", default="l1",
+                   help="l1 | l2 | seq2seqGAN-disc (case-insensitive; "
+                        "'disc' is an alias)")
     # disc-distance knobs, forwarded to plan_fivek when
     # --dist_type seq2seqGAN-disc (plan_fivek exits without them)
     p.add_argument("--disc_run_dir", default=None)
@@ -133,6 +135,11 @@ def worker_cmd(a, start: int, count: int):
 
 def main(argv=None):
     a = build_parser().parse_args(argv)
+    # canonicalize BEFORE the guard and worker_cmd: plan_fivek accepts
+    # case-insensitive spellings and the 'disc' alias — an accepted alias
+    # must still forward the disc args to every worker
+    if a.dist_type.lower() in ("seq2seqgan-disc", "disc"):
+        a.dist_type = "seq2seqGAN-disc"
     if (a.dist_type == "seq2seqGAN-disc" and not a.disc_run_dir
             and not a.torch_gan_ckpt):
         raise SystemExit("--dist_type seq2seqGAN-disc needs --disc_run_dir "

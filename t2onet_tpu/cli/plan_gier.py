@@ -126,7 +126,8 @@ def main(argv=None):
         for pair_id in pair_ids:
             img_x, img_y, request, op_masks, data_id = load_pair(pair_id)
             actions, images = beam_search(
-                img_x, img_y, seed=pair_id, op_masks=op_masks or None, **kw)
+                img_x, img_y, seed=a.manual_seed + pair_id,
+                op_masks=op_masks or None, **kw)
             write_item(data_id, request, img_x, img_y, actions, images)
             n += 1
             if n % 5 == 0:

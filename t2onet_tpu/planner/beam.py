@@ -46,7 +46,14 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     imgs = jnp.asarray(I_buff)
     n_real = imgs.shape[0]
     masks = None
-    if op_masks:
+    # a dict is one pair's {op: mask}; a list is per-row dicts. A list of
+    # all-EMPTY dicts means no local ops anywhere — skip the masked
+    # execute path instead of materializing an all-ones (N,C,1,H,W)
+    # tensor. (len(), not truthiness: op index 0 is a valid dict key.)
+    has_masks = (len(op_masks) > 0 if isinstance(op_masks, dict)
+                 else any(len(d) > 0 for d in op_masks)) \
+        if op_masks is not None else False
+    if has_masks:
         h, w = I_buff.shape[-2:]
 
         def cand_rows(d):
@@ -151,6 +158,9 @@ def beam_search(
         per beam; images[b] = per-step edited images (1,3,H,W). Same
         contract as the reference (beam_search.py:262-264).
     """
+    if mode not in ("plain", "eps", "fixed"):
+        raise ValueError(f"unknown beam-search mode {mode!r} "
+                         "(want plain | eps | fixed)")
     rng = np.random.default_rng(seed)
     dist_type = normalize_dist_type(dist_type) if score_fn is None else "l1"
     if mode == "fixed":
@@ -276,6 +286,9 @@ def batch_beam_search(
         planner, batched; see beam_search's op_masks).
     :return: list of per-pair (actions, images) like beam_search's.
     """
+    if mode not in ("plain", "eps", "fixed"):
+        raise ValueError(f"unknown beam-search mode {mode!r} "
+                         "(want plain | eps | fixed)")
     rng = np.random.default_rng(seed)
     dist_type = normalize_dist_type(dist_type)
     if mode == "fixed":

@@ -182,6 +182,11 @@ def fit_op_params_scored(imgs: jax.Array, onehot: jax.Array,
     return _adam_fit(per_candidate_dist, init_params, n_iters, lr)
 
 
+_execute_candidates_jit = jax.jit(_apply_candidates)
+
+
 def execute_candidates(imgs, onehot, params, masks=None):
-    """Apply fitted candidate params: (N,C,3,H,W) edited images."""
-    return jax.jit(_apply_candidates)(imgs, onehot, params, masks)
+    """Apply fitted candidate params: (N,C,3,H,W) edited images.
+    One module-scope jit wrapper: a fresh jax.jit per call would pay the
+    slow Python dispatch path on every beam-search step."""
+    return _execute_candidates_jit(imgs, onehot, params, masks)

@@ -54,10 +54,14 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
         "init distance": init_distance(img_x, img_y),
         "operation sequence": [[list(a) for a in seq] for seq in actions],
     }
-    with open(os.path.join(item_dir, f"{index:05d}.json"), "w") as f:
-        json.dump(info, f)
+    # images FIRST, JSON LAST: the JSON is the completion marker the
+    # fleet's verify pass checks — a worker killed mid-item must not
+    # leave a verifiable JSON whose edit{k}.jpg teachers are missing
+    # (FiveKAct substitutes zeros for absent step images)
     for k, img in enumerate(images[0]):             # top beam step images
         save_img(np.asarray(img)[0], os.path.join(item_dir, f"edit{k}.jpg"))
+    with open(os.path.join(item_dir, f"{index:05d}.json"), "w") as f:
+        json.dump(info, f)
     return info
 
 
@@ -103,6 +107,7 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
     os.makedirs(out_dir, exist_ok=True)
     buf, metas = [], []
     n, t_total = 0, time.time()
+    base_seed = plan_kwargs.pop("seed", 0)
 
     def flush():
         nonlocal n
@@ -110,7 +115,12 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
             return
         I0 = np.concatenate([b[0] for b in buf], axis=0)
         Igt = np.concatenate([b[1] for b in buf], axis=0)
-        results = batch_beam_search(I0, Igt, **plan_kwargs)
+        # seed varies per batch (first item index) on top of the caller's
+        # base seed, so eps-greedy draws / restart jitter are not replayed
+        # identically across the whole dataset
+        results = batch_beam_search(I0, Igt,
+                                    seed=base_seed + metas[0][0],
+                                    **plan_kwargs)
         for (actions, images), (idx, request, img_x, img_y) in zip(results,
                                                                    metas):
             item_dir = os.path.join(out_dir, f"{phase}{idx}")
@@ -121,11 +131,12 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
                 "operation sequence": [[list(a) for a in seq]
                                        for seq in actions],
             }
-            with open(os.path.join(item_dir, f"{idx:05d}.json"), "w") as f:
-                json.dump(info, f)
             for k, img in enumerate(images[0]):
                 save_img(np.asarray(img)[0],
                          os.path.join(item_dir, f"edit{k}.jpg"))
+            # JSON last: the fleet verify's completion marker
+            with open(os.path.join(item_dir, f"{idx:05d}.json"), "w") as f:
+                json.dump(info, f)
             n += 1
         buf.clear()
         metas.clear()
