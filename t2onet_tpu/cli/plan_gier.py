@@ -71,11 +71,15 @@ def main(argv=None):
             "operation sequence": [[list(x) for x in seq]
                                    for seq in actions],
         }
-        with open(os.path.join(item_dir, "acts.json"), "w") as f:
-            json.dump(info, f)
+        # teacher images FIRST, acts.json LAST: acts.json is the item's
+        # completion marker (GIERDatasetAct.get_act treats its presence as
+        # "done" and zero-fills missing edit{k}.jpg) — same ordering rule
+        # as planner/generate.py's save_plan_item
         for k, img in enumerate(images[0]):
             save_img(np.asarray(img)[0],
                      os.path.join(item_dir, f"edit{k}.jpg"))
+        with open(os.path.join(item_dir, "acts.json"), "w") as f:
+            json.dump(info, f)
 
     def load_pair(pair_id):
         item = gier.get_pair_item(pair_id)

@@ -142,7 +142,7 @@ def make_http_handler(engine):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True, "stats": engine.stats})
+                self._reply(200, {"ok": True, "stats": engine.stats_snapshot()})
             else:
                 self._reply(404, {"error": "unknown path"})
 

@@ -122,8 +122,13 @@ def main(argv=None):
     sh = batch_sharding(mesh) if mesh is not None else None
 
     def stage(b):
-        return device_put_batch({k: v for k, v in b.items() if k != "req"},
-                                sh)
+        # 'req' is host-side text; 'step_masks' is the per-step (B,T-2,1,
+        # H,W) raw mask tensor — the episode step consumes the per-vocab
+        # 'masks_vocab' form instead, so shipping step_masks would be
+        # ~33 MB/it of dead host->device traffic at bs64/128px
+        drop = ("req", "step_masks")
+        return device_put_batch(
+            {k: v for k, v in b.items() if k not in drop}, sh)
 
     rng = jax.random.PRNGKey(a.manual_seed + 1)
     it = Prefetcher(train_ds.batches(a.batch_size, a.num_iters, shuffle=True),

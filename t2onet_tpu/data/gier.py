@@ -287,6 +287,10 @@ class GIERDataset:
         step axis so consumers take img_y[:, -1] as ground truth, matching
         data.fivek.FiveK.batches. Requires fixed image shapes
         (phase='train' or eval_img_mode='train_size')."""
+        if len(self) == 0:
+            raise ValueError(
+                "empty dataset: the data_mode/phase/session selection "
+                "matched no items — nothing to batch")
         if batch_size > len(self):
             # clamp, don't raise: a small val split must not kill the
             # training run at its first evaluation. The clamped size is
@@ -352,6 +356,10 @@ class GIERDatasetAct(GIERDataset):
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
+        if len(self) == 0:
+            raise ValueError(
+                "empty dataset: the data_mode/phase/session selection "
+                "matched no items — nothing to batch")
         if batch_size > len(self):
             # clamp, don't raise: a small val split must not kill the
             # training run at its first evaluation. The clamped size is

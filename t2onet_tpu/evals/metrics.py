@@ -110,7 +110,10 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    try:  # disp= is deprecated (scipy 1.18 removes it); errors surface as
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))  # non-finite entries
+    except linalg.LinAlgError:
+        covmean = np.full_like(sigma1, np.nan)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

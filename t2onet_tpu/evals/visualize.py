@@ -83,7 +83,11 @@ def update_web_row(webpage, sample_id: int, request: str,
         # split() (or unshifted parse_sent) misattributes every column
         from t2onet_tpu.data.text import parse_sent
 
-        toks = ["<s>"] + parse_sent(request) + ["</s>"]
+        # clamp to the columns the encoder actually consumed: txt2idx
+        # truncates to max_len-2 words, so a longer request would push
+        # '</s>' past the real END column and mislabel it
+        n_words = int(np.asarray(attn).shape[-1]) - 2
+        toks = ["<s>"] + parse_sent(request)[:n_words] + ["</s>"]
         ops_names = [str(id2op.get(int(o), o)) for o in ops]
         show_attention(toks, ops_names, attn, os.path.join(img_dir, name))
         ims.append(name)

@@ -294,10 +294,11 @@ class Actor(nn.Module):
         # XLA compile time/memory ~5x for the episode train step (the
         # dominant cost on both CPU-mesh CI and first TPU compile). This is
         # the SURVEY §7 "episode_scan": no host round-trips, one graph.
-        if sample and rng is None:
+        if (sample or param_noise > 0.0) and rng is None:
             raise ValueError(
-                "episode(sample=True) needs an explicit rng: a silent "
-                "default key would make every 'random' rollout identical")
+                "episode(sample=True / param_noise>0) needs an explicit "
+                "rng: a silent default key would make every 'random' "
+                "rollout (and every noise draw) identical")
         key0 = rng if rng is not None else jax.random.PRNGKey(0)
 
         def step(mdl, carry, _):

@@ -252,6 +252,13 @@ class ServingEngine:
         with self._lock:
             return len(self._queue)
 
+    def stats_snapshot(self) -> dict:
+        """Consistent copy of the running counters (for /healthz): the
+        writers in _process update under self._lock, so a bare dict read
+        could see a torn requests/batches pair."""
+        with self._lock:
+            return dict(self.stats)
+
     def oldest_submit(self) -> Optional[float]:
         with self._lock:
             return min((p.t_submit for p in self._queue), default=None)
