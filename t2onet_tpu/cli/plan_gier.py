@@ -74,7 +74,7 @@ def main(argv=None):
         # teacher images FIRST, acts.json LAST: acts.json is the item's
         # completion marker (GIERDatasetAct.get_act treats its presence as
         # "done" and zero-fills missing edit{k}.jpg) — same ordering rule
-        # as planner/generate.py's save_plan_item
+        # as planner/generate.py's plan_pair (generate.py:59-64)
         for k, img in enumerate(images[0]):
             save_img(np.asarray(img)[0],
                      os.path.join(item_dir, f"edit{k}.jpg"))

@@ -92,14 +92,15 @@ def run_bench(engine, n: int, size: int):
     results = engine.edit_batch(imgs, reqs)
     dt = time.time() - t0
     assert all(r is not None for r in results)
+    st = engine.stats_snapshot()
     print(json.dumps({
         "metric": f"{size}px serving requests/sec/chip",
         "value": round(n / dt, 2),
         "unit": "req/s",
         "detail": {
             "n": n, "batch": engine.max_batch,
-            "launch_s": round(engine.stats["launch_s"], 3),
-            "sync_s": round(engine.stats["sync_s"], 3),
+            "launch_s": round(st["launch_s"], 3),
+            "sync_s": round(st["sync_s"], 3),
             "mean_program_len": float(np.mean(
                 [len(r.ops) for r in results])),
         },

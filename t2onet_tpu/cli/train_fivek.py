@@ -125,8 +125,12 @@ def main(argv=None):
         # 'req' is host-side text; 'step_masks' is the per-step (B,T-2,1,
         # H,W) raw mask tensor — the episode step consumes the per-vocab
         # 'masks_vocab' form instead, so shipping step_masks would be
-        # ~33 MB/it of dead host->device traffic at bs64/128px
+        # ~33 MB/it of dead host->device traffic at bs64/128px. And when
+        # the episode phase never consumes masks (--fs_only, or masks
+        # disabled), masks_vocab (B,n_vocab,1,H,W) is dead weight too.
         drop = ("req", "step_masks")
+        if a.fs_only or not use_masks:
+            drop += ("masks_vocab",)
         return device_put_batch(
             {k: v for k, v in b.items() if k not in drop}, sh)
 

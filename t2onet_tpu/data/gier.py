@@ -281,24 +281,29 @@ class GIERDataset:
                 blob[key] = np.stack([np.asarray(b[key]) for b in batch])
         return blob
 
+    def _clamped_batch_size(self, batch_size: int) -> int:
+        """Shared batches() preamble: raise on an empty selection, clamp
+        an oversized request. Clamp, don't raise: a small val split must
+        not kill the training run at its first evaluation; the clamped
+        size is the SAME every call, so the jitted eval step still sees
+        one stable compiled shape."""
+        if len(self) == 0:
+            raise ValueError(
+                "empty dataset: the data_mode/phase/session selection "
+                "matched no items — nothing to batch")
+        if batch_size > len(self):
+            print(f"warning: batch_size {batch_size} > dataset size "
+                  f"{len(self)} — clamping to {len(self)}")
+            batch_size = len(self)
+        return batch_size
+
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
         """Eval-shaped batches (no planner actions): img_y gets a single
         step axis so consumers take img_y[:, -1] as ground truth, matching
         data.fivek.FiveK.batches. Requires fixed image shapes
         (phase='train' or eval_img_mode='train_size')."""
-        if len(self) == 0:
-            raise ValueError(
-                "empty dataset: the data_mode/phase/session selection "
-                "matched no items — nothing to batch")
-        if batch_size > len(self):
-            # clamp, don't raise: a small val split must not kill the
-            # training run at its first evaluation. The clamped size is
-            # the SAME every call, so the jitted eval step still sees one
-            # stable compiled shape.
-            print(f"warning: batch_size {batch_size} > dataset size "
-                  f"{len(self)} — clamping to {len(self)}")
-            batch_size = len(self)
+        batch_size = self._clamped_batch_size(batch_size)
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)
@@ -356,18 +361,7 @@ class GIERDatasetAct(GIERDataset):
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
-        if len(self) == 0:
-            raise ValueError(
-                "empty dataset: the data_mode/phase/session selection "
-                "matched no items — nothing to batch")
-        if batch_size > len(self):
-            # clamp, don't raise: a small val split must not kill the
-            # training run at its first evaluation. The clamped size is
-            # the SAME every call, so the jitted eval step still sees one
-            # stable compiled shape.
-            print(f"warning: batch_size {batch_size} > dataset size "
-                  f"{len(self)} — clamping to {len(self)}")
-            batch_size = len(self)
+        batch_size = self._clamped_batch_size(batch_size)
         rng = np.random.default_rng(seed)
         idxs = np.arange(len(self))
         i = len(self)

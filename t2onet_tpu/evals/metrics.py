@@ -110,8 +110,15 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    try:  # disp= is deprecated (scipy 1.18 removes it); errors surface as
-        covmean = linalg.sqrtm(sigma1.dot(sigma2))  # non-finite entries
+    import warnings
+
+    # disp= is deprecated (scipy 1.18 removes it). Keep its old contract:
+    # a singular product must reach the eps-offset retry silently — not
+    # warn (or raise under -W error) before isfinite() can see the NaNs.
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", linalg.LinAlgWarning)
+            covmean = linalg.sqrtm(sigma1.dot(sigma2))
     except linalg.LinAlgError:
         covmean = np.full_like(sigma1, np.nan)
     if not np.isfinite(covmean).all():
