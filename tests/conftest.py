@@ -41,6 +41,23 @@ def pytest_collection_modifyitems(items):
     items[:] = first + rest
 
 
+def pytest_configure(config):
+    """Build the native host-pipeline lib if the toolchain is present, so
+    a fresh checkout runs test_native.py instead of skipping it. Failure
+    is non-fatal — the tests keep their 'native lib not built' skip."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libt2onet_native.so")
+    if not os.path.exists(so) and shutil.which("g++"):
+        try:
+            subprocess.run(["sh", os.path.join(root, "native", "build.sh")],
+                           capture_output=True, timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+
+
 def tiny_model_config(**overrides):
     """ModelConfig.tiny: structurally complete, ~10-100x narrower widths.
     Whole-train-step compiles on this 1-core CI host drop from tens of
