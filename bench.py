@@ -150,8 +150,38 @@ def train_bench(batch=64, size=128, iters=10):
     return imgs_per_sec
 
 
+def _backend_watchdog(timeout_s: float = 420.0):
+    """Fail fast if the TPU backend never initializes.
+
+    The axon tunnel goes down for hours at a time, and a dead tunnel makes
+    jax backend init hang FOREVER (not error): a bench invocation would
+    then produce no output at all. Watchdog: a daemon thread initializes
+    the backend; if it hasn't come up within timeout_s, print a diagnostic
+    and exit(2) so the caller records a clean failure instead of a hang."""
+    import sys
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+
+        info["devices"] = list(jax.devices())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"[bench] FATAL: jax backend did not initialize within "
+              f"{timeout_s:.0f}s — TPU tunnel unreachable?", file=sys.stderr,
+              flush=True)
+        os._exit(2)
+    _stage(f"backend up: {info['devices']}")
+
+
 def main():
     _enable_compile_cache()
+    _backend_watchdog()
 
     import jax
     import jax.numpy as jnp
