@@ -58,6 +58,13 @@ def add_base_args(p: argparse.ArgumentParser):
                    help="classify op params over discrete_step bins "
                         "(reference fiveK_base_options discrete_param)")
     p.add_argument("--discrete_step", type=int, default=10)
+    p.add_argument("--resnet_widths", default=None,
+                   help="comma-separated ResNet stage widths (default "
+                        "64,128,256,512 — the reference's actor_resnet "
+                        "sizes); shrink for tiny smoke runs")
+    p.add_argument("--vis_feat_dim", type=int, default=None,
+                   help="vis-encoder output feature dim (default 512); "
+                        "must equal the last resnet width")
     p.add_argument("--vis_bf16", type=int, default=0,
                    help="vis-encoder (ResNet) computation in bfloat16 — "
                         "params/batch-stats stay f32; halves the per-step "
@@ -96,7 +103,12 @@ def args_to_config(a) -> Config:
         fix_input_embedding=bool(a.fix_input_embedding),
         discrete_param=bool(getattr(a, "discrete_param", 0)),
         discrete_step=getattr(a, "discrete_step", 10),
-        vis_bf16=bool(getattr(a, "vis_bf16", 0)))
+        vis_bf16=bool(getattr(a, "vis_bf16", 0)),
+        **({"resnet_widths": tuple(
+            int(x) for x in a.resnet_widths.split(","))}
+           if getattr(a, "resnet_widths", None) else {}),
+        **({"vis_feat_dim": a.vis_feat_dim}
+           if getattr(a, "vis_feat_dim", None) else {}))
     ops = OperatorConfig(
         exposure_range=a.exposure_range, sharpness_range=a.sharpness_range,
         brightness_range=a.brightness_range, curve_steps=a.curve_steps)

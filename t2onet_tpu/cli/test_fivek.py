@@ -48,7 +48,7 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
     image is edge-padded to a 64-px bucket for the jitted rollout (a
     handful of compiles total), outputs cropped back, metrics computed on
     the host at the true resolution."""
-    from t2onet_tpu.evals.bucketing import crop_valid, pad_to_bucket
+    from t2onet_tpu.evals.bucketing import crop_valid, fit_within, pad_to_bucket
 
     eval_fn = make_eval_episode(actor)
     evaluator = ImageEvaluator(host_metrics=True, features_fn=_features_fn(a))
@@ -64,6 +64,12 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
             req = item["request"]
         else:                               # FiveK tuples
             img_x, img_y, req_idx, req = item
+        if max(img_x.shape[1:]) > 1024:
+            # extreme aspect ratios (short side 600 -> long side > 1024):
+            # downscale the whole pair rather than silently cropping —
+            # metrics then cover every pixel, at slightly reduced scale
+            img_x = fit_within(img_x, 1024)
+            img_y = fit_within(img_y, 1024)
         padded, valid_hw = pad_to_bucket(img_x, quantum)
         x = jnp.asarray(req_idx.astype(np.int32))[None]
         pred, out = eval_fn(state, {"x": x, "img_x": jnp.asarray(padded)[None]})

@@ -90,9 +90,16 @@ def main(argv=None):
 
     ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqL1_model"),
                              max_to_keep=a.max_keep_ckpts or None)
+    start_itr = 1
     if a.resume:
-        state = ckpt.restore(state, "latest")
-        print(f"resumed from iter {int(state.step)}")
+        # tolerate "no checkpoint yet": the supervisor appends --resume on
+        # every relaunch, including after a crash before the first save
+        try:
+            state = ckpt.restore(state, "latest")
+            start_itr = int(state.step) + 1
+            print(f"resumed from iter {int(state.step)}")
+        except FileNotFoundError:
+            print("--resume: no checkpoint found, starting fresh")
 
     logger = common.ScalarLogger(run_dir)
     # GIER local editing: thread the gt masks emitted by
@@ -135,7 +142,10 @@ def main(argv=None):
             {k: v for k, v in b.items() if k not in drop}, sh)
 
     rng = jax.random.PRNGKey(a.manual_seed + 1)
-    it = Prefetcher(train_ds.batches(a.batch_size, a.num_iters, shuffle=True),
+    if start_itr > 1:   # resumed: don't replay the pre-crash episode noise
+        rng = jax.random.fold_in(rng, start_itr)
+    n_left = max(a.num_iters - start_itr + 1, 0)
+    it = Prefetcher(train_ds.batches(a.batch_size, n_left, shuffle=True),
                     to_device=stage, depth=2)
     # metric sums stay on device between prints — a float() per step would
     # force a ~30ms tunnel round-trip per iteration
@@ -145,58 +155,61 @@ def main(argv=None):
     tik = time.time()
     # profile window: steps prof_start..prof_start+N-1, after both phase
     # graphs are warm (compiled)
-    prof_start = 5 if a.profile_steps else -1
+    prof_start = start_itr + 4 if a.profile_steps else -1
     prof_stop = prof_start + a.profile_steps - 1
     prof_open = False
-    for itr, jb in enumerate(it, start=1):
-        if itr == prof_start:
-            import jax.profiler as _prof
+    try:
+        for itr, jb in enumerate(it, start=start_itr):
+            if itr == prof_start:
+                import jax.profiler as _prof
 
-            _prof.start_trace(os.path.join(run_dir, "profile"))
-            prof_open = True
-        if a.fs_only or itr % 2 == 1:       # supervised phase
-            keys = ("x", "y", "img_x", "img_y", "gt_params")
-            state, m = sup_step(state, {k: jb[k] for k in keys})
-        else:                  # episode L1 phase
-            rng, sub = jax.random.split(rng)
-            eb = {"x": jb["x"], "img_x": jb["img_x"],
-                  "gt_img": jb["img_y"][:, -1]}
-            if use_masks:
-                eb["masks_vocab"] = jb["masks_vocab"]
-            state, m = epi_step(state, eb, sub)
-        for k, v in m.items():
-            if k in sums:
-                sums[k] = sums[k] + v
-                counts[k] += 1
-        if prof_open and itr >= prof_stop:
-            import jax.profiler as _prof
+                _prof.start_trace(os.path.join(run_dir, "profile"))
+                prof_open = True
+            if a.fs_only or itr % 2 == 1:       # supervised phase
+                keys = ("x", "y", "img_x", "img_y", "gt_params")
+                state, m = sup_step(state, {k: jb[k] for k in keys})
+            else:                  # episode L1 phase
+                rng, sub = jax.random.split(rng)
+                eb = {"x": jb["x"], "img_x": jb["img_x"],
+                      "gt_img": jb["img_y"][:, -1]}
+                if use_masks:
+                    eb["masks_vocab"] = jb["masks_vocab"]
+                state, m = epi_step(state, eb, sub)
+            for k, v in m.items():
+                if k in sums:
+                    sums[k] = sums[k] + v
+                    counts[k] += 1
+            if prof_open and itr >= prof_stop:
+                import jax.profiler as _prof
 
-            jax.block_until_ready(state.params)
-            _prof.stop_trace()
-            prof_open = False
-            print(f"profile trace ({itr - prof_start + 1} steps) -> "
-                  f"{os.path.join(run_dir, 'profile')}", flush=True)
+                jax.block_until_ready(state.params)
+                _prof.stop_trace()
+                prof_open = False
+                print(f"profile trace ({itr - prof_start + 1} steps) -> "
+                      f"{os.path.join(run_dir, 'profile')}", flush=True)
 
-        if itr % a.print_every == 0:
-            avg = {k: float(sums[k]) / max(counts[k], 1) for k in sums}
-            sums = {k: jnp.zeros(()) for k in sums}
-            counts = {k: 0 for k in counts}
-            dt = (time.time() - tik) / a.print_every
-            tik = time.time()
-            print(f"iter {itr:6d}/{a.num_iters} op {avg['op_loss']:.3f} "
-                  f"param {avg['param_loss']:.3f} L1 {avg['L1_loss']:.3f} "
-                  f"{dt * 1e3:.0f} ms/it", flush=True)
-            logger.log(itr, **avg)
+            if itr % a.print_every == 0:
+                avg = {k: float(sums[k]) / max(counts[k], 1) for k in sums}
+                sums = {k: jnp.zeros(()) for k in sums}
+                counts = {k: 0 for k in counts}
+                dt = (time.time() - tik) / a.print_every
+                tik = time.time()
+                print(f"iter {itr:6d}/{a.num_iters} op {avg['op_loss']:.3f} "
+                      f"param {avg['param_loss']:.3f} L1 {avg['L1_loss']:.3f} "
+                      f"{dt * 1e3:.0f} ms/it", flush=True)
+                logger.log(itr, **avg)
 
-        if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
-            val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
-                           a.val_batches, eval_fn)
-            best = ckpt.save(state, itr, val)
-            logger.log(itr, val_L1=val)
-            if best:
-                print(f"best model at iter {itr} (val L1 {val:.4f})")
-        if itr >= a.num_iters:
-            break
+            if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
+                val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
+                               a.val_batches, eval_fn)
+                best = ckpt.save(state, itr, val)
+                logger.log(itr, val_L1=val)
+                if best:
+                    print(f"best model at iter {itr} (val L1 {val:.4f})")
+            if itr >= a.num_iters:
+                break
+    finally:
+        it.close()
     if prof_open:                       # run ended inside the profile window
         import jax.profiler as _prof
 

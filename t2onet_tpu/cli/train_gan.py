@@ -233,16 +233,44 @@ def main(argv=None):
     ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"),
                              max_to_keep=a.max_keep_ckpts or None)
     # the discriminator rides along (the planner's 'seq2seqGAN-disc'
-    # distance restores it — cli/plan_fivek.py --dist_type seq2seqGAN-disc)
+    # distance restores it — cli/plan_fivek.py --dist_type seq2seqGAN-disc);
+    # its tree stays weights-only for planner compat, so the G/D optimizer
+    # moments resume from a separate twin
     d_ckpt = PytreeCheckpointer(os.path.join(run_dir, "seq2seqGAN_model",
                                              "disc"),
                                 max_to_keep=a.max_keep_ckpts or None)
+    opt_ckpt = PytreeCheckpointer(os.path.join(run_dir, "seq2seqGAN_model",
+                                               "gan_opt"),
+                                  max_to_keep=a.max_keep_ckpts or None)
+    start_itr = 1
+    if a.resume:
+        try:
+            state = ckpt.restore(state, "latest")
+            start_itr = int(state.step) + 1
+            tree = d_ckpt.restore({"d_params": gan.d_params,
+                                   "d_batch_stats": gan.d_batch_stats},
+                                  "latest")
+            gan = gan.replace(d_params=tree["d_params"],
+                              d_batch_stats=tree["d_batch_stats"])
+            try:
+                opts = opt_ckpt.restore({"d_opt": gan.d_opt,
+                                         "g_opt": gan.g_opt}, "latest")
+                gan = gan.replace(d_opt=opts["d_opt"], g_opt=opts["g_opt"])
+            except FileNotFoundError:
+                print("--resume: no gan_opt checkpoint; G/D Adam moments "
+                      "start fresh")
+            print(f"resumed from iter {int(state.step)}")
+        except FileNotFoundError:
+            print("--resume: no checkpoint found, starting fresh")
     logger = common.ScalarLogger(run_dir)
     rng = jax.random.PRNGKey(a.manual_seed + 1)
+    if start_itr > 1:   # resumed: don't replay the pre-crash episode noise
+        rng = jax.random.fold_in(rng, start_itr)
     tik = time.time()
+    n_left = max(a.num_iters - start_itr + 1, 0)
     for itr, batch in enumerate(
-            train_ds.batches(a.batch_size, a.num_iters, shuffle=True),
-            start=1):
+            train_ds.batches(a.batch_size, n_left, shuffle=True),
+            start=start_itr):
         jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
         if itr % 2 == 1:
             state, m = sup_step(state, {k: jb[k] for k in
@@ -269,6 +297,7 @@ def main(argv=None):
             d_ckpt.save({"d_params": gan.d_params,
                          "d_batch_stats": gan.d_batch_stats},
                         itr, best=is_best)
+            opt_ckpt.save({"d_opt": gan.d_opt, "g_opt": gan.g_opt}, itr)
         if itr >= a.num_iters:
             break
     print("GAN training done")

@@ -62,9 +62,16 @@ def main(argv=None):
 
     ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqRL_model"),
                              max_to_keep=a.max_keep_ckpts or None)
+    start_itr = 1
     if a.resume:
-        state = ckpt.restore(state, "latest")
-        print(f"resumed from iter {int(state.step)}")
+        # tolerate "no checkpoint yet": the supervisor appends --resume on
+        # every relaunch, including after a crash before the first save
+        try:
+            state = ckpt.restore(state, "latest")
+            start_itr = int(state.step) + 1
+            print(f"resumed from iter {int(state.step)}")
+        except FileNotFoundError:
+            print("--resume: no checkpoint found, starting fresh")
 
     logger = common.ScalarLogger(run_dir, name="rl_metrics")
     sup_step = make_supervised_step(actor, mesh=mesh)
@@ -79,44 +86,50 @@ def main(argv=None):
                                 sh)
 
     rng = jax.random.PRNGKey(a.manual_seed + 1)
+    if start_itr > 1:   # resumed: don't replay the pre-crash episode noise
+        rng = jax.random.fold_in(rng, start_itr)
     total = a.warmup + a.num_iters
-    it = Prefetcher(train_ds.batches(a.batch_size, total, shuffle=True),
+    n_left = max(total - start_itr + 1, 0)
+    it = Prefetcher(train_ds.batches(a.batch_size, n_left, shuffle=True),
                     to_device=stage, depth=2)
     sums, counts, tik = {}, {}, time.time()
-    for itr, jb in enumerate(it, start=1):
-        if itr <= a.warmup:
-            state, m = sup_step(state, {k: jb[k] for k in
-                                        ("x", "y", "img_x", "img_y",
-                                         "gt_params")})
-        else:
-            rng, sub = jax.random.split(rng)
-            state, m = rl_step(
-                state, {"x": jb["x"], "img_x": jb["img_x"],
-                        "gt_img": jb["img_y"][:, -1]}, sub)
-        for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + v
-            counts[k] = counts.get(k, 0) + 1
+    try:
+        for itr, jb in enumerate(it, start=start_itr):
+            if itr <= a.warmup:
+                state, m = sup_step(state, {k: jb[k] for k in
+                                            ("x", "y", "img_x", "img_y",
+                                             "gt_params")})
+            else:
+                rng, sub = jax.random.split(rng)
+                state, m = rl_step(
+                    state, {"x": jb["x"], "img_x": jb["img_x"],
+                            "gt_img": jb["img_y"][:, -1]}, sub)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
 
-        if itr % a.print_every == 0:
-            avg = {k: float(sums[k]) / counts[k] for k in sums}
-            sums, counts = {}, {}
-            dt = (time.time() - tik) / a.print_every
-            tik = time.time()
-            phase = "warmup" if itr <= a.warmup else "rl"
-            line = " ".join(f"{k} {v:.4f}" for k, v in sorted(avg.items()))
-            print(f"iter {itr:6d}/{total} [{phase}] {line} "
-                  f"{dt * 1e3:.0f} ms/it", flush=True)
-            logger.log(itr, **avg)
+            if itr % a.print_every == 0:
+                avg = {k: float(sums[k]) / counts[k] for k in sums}
+                sums, counts = {}, {}
+                dt = (time.time() - tik) / a.print_every
+                tik = time.time()
+                phase = "warmup" if itr <= a.warmup else "rl"
+                line = " ".join(f"{k} {v:.4f}" for k, v in sorted(avg.items()))
+                print(f"iter {itr:6d}/{total} [{phase}] {line} "
+                      f"{dt * 1e3:.0f} ms/it", flush=True)
+                logger.log(itr, **avg)
 
-        if itr % a.checkpoint_every == 0 or itr >= total:
-            val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
-                           a.val_batches, eval_fn)
-            best = ckpt.save(state, itr, val)
-            logger.log(itr, val_L1=val)
-            if best:
-                print(f"best model at iter {itr} (val L1 {val:.4f})")
-        if itr >= total:
-            break
+            if itr % a.checkpoint_every == 0 or itr >= total:
+                val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
+                               a.val_batches, eval_fn)
+                best = ckpt.save(state, itr, val)
+                logger.log(itr, val_L1=val)
+                if best:
+                    print(f"best model at iter {itr} (val L1 {val:.4f})")
+            if itr >= total:
+                break
+    finally:
+        it.close()
     print("training done")
 
 

@@ -25,6 +25,11 @@ class Prefetcher:
         `lambda b: shard_batch(jnp_batch(b), mesh)`); runs on the prefetch
         thread so H2D transfer overlaps compute.
     :param depth: queue depth.
+
+    Iteration past exhaustion keeps raising (StopIteration, or the pump's
+    error) instead of blocking; `close()` unblocks and stops the pump so
+    an abandoned iteration doesn't strand device-resident batches in HBM.
+    Usable as a context manager.
     """
 
     _SENTINEL = object()
@@ -34,44 +39,84 @@ class Prefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
         self._to_device = to_device
+        self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(
             target=self._pump, args=(iter(batches),), daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that aborts when close() is called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _pump(self, it: Iterator):
         try:
             for batch in it:
+                if self._stop.is_set():
+                    return
                 if self._to_device is not None:
                     batch = self._to_device(batch)
-                self._q.put(batch)
+                if not self._put(batch):
+                    return
         except BaseException as e:          # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._SENTINEL)
+            self._put(self._SENTINEL)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
 
+    def close(self):
+        """Stop the pump thread and release queued (device) batches."""
+        self._stop.set()
+        self._done = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
 
 def device_put_batch(batch: dict, sharding=None) -> dict:
-    """numpy batch -> device arrays (aux string lists pass through)."""
+    """numpy batch -> device arrays (aux string lists pass through).
+
+    With a sharding, the host array is transferred straight to its shards
+    (one H2D per shard) — never staged whole on the default device first.
+    """
     import jax.numpy as jnp
 
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            arr = jnp.asarray(v)
-            if sharding is not None:
-                arr = jax.device_put(arr, sharding)
-            out[k] = arr
+            out[k] = (jax.device_put(v, sharding) if sharding is not None
+                      else jnp.asarray(v))
         else:
             out[k] = v
     return out

@@ -29,13 +29,32 @@ def bucket_shape(h: int, w: int, quantum: int = 64,
 
 def pad_to_bucket(img_chw: np.ndarray, quantum: int = 64,
                   max_side: int = 1024):
-    """(3, h, w) -> (3, H, W) edge-padded + (h, w) valid size."""
+    """(3, h, w) -> (3, H, W) edge-padded + (h, w) valid size.
+
+    Raises on images exceeding max_side — silently cropping them would
+    corrupt eval metrics; callers must resize first (see fit_within)."""
     _, h, w = img_chw.shape
+    if h > max_side or w > max_side:
+        raise ValueError(
+            f"image {h}x{w} exceeds max_side={max_side}; resize it first "
+            "(evals.bucketing.fit_within) instead of cropping")
     hb, wb = bucket_shape(h, w, quantum, max_side)
-    h, w = min(h, hb), min(w, wb)
-    img_chw = img_chw[:, :h, :w]
     out = np.pad(img_chw, ((0, 0), (0, hb - h), (0, wb - w)), mode="edge")
     return out, (h, w)
+
+
+def fit_within(img_chw: np.ndarray, max_side: int = 1024) -> np.ndarray:
+    """Downscale (3, h, w) so the long side fits max_side (aspect kept,
+    bilinear); returns the input unchanged when it already fits."""
+    _, h, w = img_chw.shape
+    if max(h, w) <= max_side:
+        return img_chw
+    from t2onet_tpu.native import resize_bilinear
+
+    scale = max_side / max(h, w)
+    oh, ow = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    hwc = np.ascontiguousarray(np.moveaxis(img_chw, 0, -1))
+    return np.moveaxis(resize_bilinear(hwc, oh, ow), -1, 0)
 
 
 def masked_l1(a, b, valid_hw) -> float:

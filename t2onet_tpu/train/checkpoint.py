@@ -11,10 +11,20 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+# finalized step checkpoints only — a crash mid-save leaves orbax tmp dirs
+# ('checkpoint_iterNNNNNNNN.orbax-checkpoint-tmp-<ts>') that must never be
+# resumed from or counted against max_to_keep
+_FINAL_RE = re.compile(r"^checkpoint_iter\d+$")
+
+
+def _final_ckpts(ckpt_dir: str):
+    return sorted(d for d in os.listdir(ckpt_dir) if _FINAL_RE.match(d))
 
 
 def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str:
@@ -22,8 +32,7 @@ def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str:
     if which == "best":
         return os.path.join(ckpt_dir, "checkpoint_best")
     if which == "latest":
-        cands = sorted(d for d in os.listdir(ckpt_dir)
-                       if d.startswith("checkpoint_iter"))
+        cands = _final_ckpts(ckpt_dir)
         if not cands:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         return os.path.join(ckpt_dir, cands[-1])
@@ -31,15 +40,18 @@ def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str:
 
 
 def _prune_old(ckpt_dir: str, max_to_keep: Optional[int]):
-    """Drop the oldest checkpoint_iter* dirs beyond max_to_keep
-    (checkpoint_best is never pruned)."""
-    if not max_to_keep:
-        return
+    """Drop the oldest finalized checkpoint_iter* dirs beyond max_to_keep
+    (checkpoint_best is never pruned), plus any stale orbax tmp dirs left
+    behind by a crash mid-save (safe here: callers wait_until_finished()
+    before pruning, so no save is in flight)."""
     import shutil
 
-    cands = sorted(d for d in os.listdir(ckpt_dir)
-                   if d.startswith("checkpoint_iter"))
-    for d in cands[:-max_to_keep]:
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("checkpoint_") and ".orbax-checkpoint-tmp" in d:
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+    if not max_to_keep:
+        return
+    for d in _final_ckpts(ckpt_dir)[:-max_to_keep]:
         shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
 
 
@@ -65,12 +77,22 @@ class CheckpointManager:
 
     def _load_stats(self):
         if os.path.exists(self._stats_path()):
-            with open(self._stats_path()) as f:
-                self.stats = json.load(f)
+            try:
+                with open(self._stats_path()) as f:
+                    self.stats = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                # stats are advisory (best-model tracking); a truncated file
+                # from a crash must not brick the run dir
+                print(f"warning: corrupt {self._stats_path()} ({e}); "
+                      "resetting best-model stats")
 
     def _save_stats(self):
-        with open(self._stats_path(), "w") as f:
+        # temp-file + atomic rename: a crash mid-write can't truncate the
+        # stats a future resume will read
+        tmp = self._stats_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.stats, f)
+        os.replace(tmp, self._stats_path())
 
     # -- save / restore --------------------------------------------------
     def _state_tree(self, state):

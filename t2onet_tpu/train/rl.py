@@ -31,7 +31,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from t2onet_tpu.models.actor import Actor, select_end_images
+from t2onet_tpu.models.actor import (Actor, get_entropy_penalty,
+                                     select_end_images)
 from t2onet_tpu.train.loop import TrainState, _jit_step
 
 
@@ -42,7 +43,6 @@ def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
     Returns (total_loss, metrics dict).
     """
     imgs, ops, logprobs = out["imgs"], out["ops"], out["logprobs"]
-    b, s = ops.shape
 
     pred = select_end_images(imgs, ops, end_id)
     per_sample_l1 = jnp.abs(pred - gt_img).mean(axis=(1, 2, 3))   # (B,)
@@ -60,9 +60,7 @@ def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
     adv = jax.lax.stop_gradient(reward - baseline)                # (B,)
     pg_loss = -(adv[:, None] * chosen_lp * step_w).sum(axis=1).mean()
 
-    probs = jnp.exp(logprobs)
-    entropy = -(probs * logprobs).sum(axis=-1)                    # (B, S)
-    ent_penalty = (jnp.log(float(logprobs.shape[-1])) - entropy)  # >= 0
+    ent_penalty = get_entropy_penalty(logprobs)[..., 0]           # (B, S)
     ent_loss = (ent_penalty * step_w).sum(axis=1).mean()
 
     l1_loss = per_sample_l1.mean()

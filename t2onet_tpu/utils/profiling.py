@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import contextlib
 import time
-from collections import defaultdict
-from typing import Dict, List
+from collections import defaultdict, deque
+from typing import Dict
 
 
 @contextlib.contextmanager
@@ -29,11 +29,15 @@ def trace(log_dir: str):
 
 
 class PhaseTimer:
+    # exact running mean over ALL samples; percentiles over a bounded
+    # recent window so week-long runs don't accumulate unbounded floats
+    _WINDOW = 4096
+
     def __init__(self):
-        self._samples: Dict[str, List[float]] = defaultdict(list)
+        self._samples: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=self._WINDOW))
         self._avg: Dict[str, float] = defaultdict(float)
         self._n: Dict[str, int] = defaultdict(int)
-        self._start: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -54,12 +58,12 @@ class PhaseTimer:
         out = {}
         for name, xs in self._samples.items():
             xs_sorted = sorted(xs)
-            n = len(xs_sorted)
+            k = len(xs_sorted)
             out[name] = {
                 "mean": self._avg[name],
-                "p50": xs_sorted[n // 2],
-                "p90": xs_sorted[min(int(n * 0.9), n - 1)],
-                "n": n,
+                "p50": xs_sorted[k // 2],
+                "p90": xs_sorted[min(int(k * 0.9), k - 1)],
+                "n": self._n[name],
             }
         return out
 

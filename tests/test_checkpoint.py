@@ -69,3 +69,48 @@ def test_max_to_keep_prunes_old_checkpoints(tmp_path):
     assert (tmp_path / "ck" / "checkpoint_best").exists()
     restored = ck.restore({"w": jnp.zeros((2,))}, which="latest")
     assert jax.numpy.allclose(restored["w"], 1.0)
+
+
+def test_latest_skips_orbax_tmp_dirs(tmp_path):
+    """A crash mid-save leaves 'checkpoint_iterN.orbax-checkpoint-tmp-<ts>'
+    dirs; resume must never target them and pruning must clear them."""
+    import os
+
+    import jax.numpy as jnp
+
+    from t2onet_tpu.train.checkpoint import (PytreeCheckpointer,
+                                             _resolve_ckpt_path)
+
+    ck = PytreeCheckpointer(str(tmp_path / "ck"), max_to_keep=2)
+    tree = {"w": jnp.ones((2,))}
+    ck.save(tree, 1)
+    ck.save({"w": jnp.full((2,), 2.0)}, 2)
+    # simulate a partial save from a crashed process — sorts above both
+    stale = tmp_path / "ck" / "checkpoint_iter00000003.orbax-checkpoint-tmp-99"
+    stale.mkdir()
+    assert _resolve_ckpt_path(str(tmp_path / "ck"), "latest").endswith(
+        "checkpoint_iter00000002")
+    restored = ck.restore({"w": jnp.zeros((2,))}, which="latest")
+    assert float(restored["w"][0]) == 2.0
+    # the next save's prune clears the stale tmp dir and keeps both
+    # finalized checkpoints (tmp garbage must not occupy keep slots)
+    ck.save({"w": jnp.full((2,), 3.0)}, 3)
+    names = sorted(os.listdir(tmp_path / "ck"))
+    assert not any(".orbax-checkpoint-tmp" in d for d in names)
+    assert [d for d in names if d.startswith("checkpoint_iter")] == [
+        "checkpoint_iter00000002", "checkpoint_iter00000003"]
+
+
+def test_corrupt_stats_json_does_not_brick_run_dir(tmp_path):
+    """stats.json truncated by a crash mid-write must not make the
+    constructor raise (it would turn every supervisor relaunch into an
+    instant failure)."""
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "stats.json").write_text('{"val_dist": [0.5], "tr')   # truncated
+    cm = CheckpointManager(str(d))
+    assert cm.stats["best_val_dist"] == float("inf")
+    # and the (atomic) save path rewrites a valid file
+    cm._save_stats()
+    cm2 = CheckpointManager(str(d))
+    assert cm2.stats["best_val_dist"] == float("inf")

@@ -211,3 +211,53 @@ def test_bucketing():
     np.testing.assert_array_equal(padded[:, :600, :899], img)
     # edge padding repeats the border
     np.testing.assert_array_equal(padded[:, 600, :899], img[:, 599, :])
+
+
+def test_prefetcher_exhaustion_and_close(rng):
+    from t2onet_tpu.data.loader import Prefetcher
+
+    batches = [{"i": i} for i in range(3)]
+    it = Prefetcher(iter(batches), depth=2)
+    assert [b["i"] for b in it] == [0, 1, 2]
+    # iterating past the sentinel keeps raising instead of blocking forever
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+
+    # close() releases a pump blocked on a full queue (abandoned iteration)
+    import itertools
+
+    inf = Prefetcher(({"i": i} for i in itertools.count()), depth=1)
+    next(inf)
+    inf.close()
+    assert not inf._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(inf)
+
+    # the stored error also survives repeated draws
+    def boom():
+        raise ValueError("boom")
+        yield
+
+    bad = Prefetcher(boom())
+    for _ in range(2):
+        with pytest.raises(ValueError):
+            next(bad)
+
+
+def test_bucketing_rejects_oversize_and_fit_within():
+    from t2onet_tpu.evals.bucketing import fit_within, pad_to_bucket
+
+    img = np.random.default_rng(1).uniform(
+        0, 1, (3, 600, 2000)).astype(np.float32)
+    # silent cropping corrupted eval metrics; oversize must raise
+    with pytest.raises(ValueError):
+        pad_to_bucket(img, 64, max_side=1024)
+    small = fit_within(img, 1024)
+    assert small.shape[0] == 3 and max(small.shape[1:]) == 1024
+    # aspect preserved to rounding
+    assert abs(small.shape[1] / small.shape[2] - 600 / 2000) < 2e-3
+    # already-fitting images pass through untouched
+    ok = np.zeros((3, 600, 899), np.float32)
+    assert fit_within(ok, 1024) is ok

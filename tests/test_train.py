@@ -135,3 +135,36 @@ def test_train_supervisor_restarts(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stdout + r.stderr
     assert marker.read_text() == "3"
+
+
+@pytest.mark.slow
+def test_train_fivek_resume_continues_numbering(tmp_path):
+    """Crash-resume contract: after restore, iteration numbering (and so
+    checkpoint names, phase parity, and pruning order) continues from the
+    restored step instead of restarting at 1 — a restart-at-1 run would
+    make the next 'latest' resume load stale pre-crash weights."""
+    import os
+
+    from t2onet_tpu.cli import train_fivek
+
+    run = str(tmp_path / "run")
+    base = ["--cpu", "--synthetic", "--synthetic_n", "16",
+            "--img_size", "16", "--batch_size", "4",
+            "--checkpoint_every", "2", "--print_every", "2",
+            "--val_batches", "1", "--fs_only", "--hidden_size", "16",
+            "--word_vec_dim", "8", "--operator_fc_dim", "16",
+            "--n_layers", "1", "--decoder_max_len", "3",
+            "--encoder_max_len", "6", "--resnet_widths", "8,8,16,16",
+            "--vis_feat_dim", "16", "--data_parallel", "0",
+            "--run_dir", run]
+    train_fivek.main(base + ["--num_iters", "4"])
+    ckdir = os.path.join(run, "seq2seqL1_model")
+    first = sorted(d for d in os.listdir(ckdir)
+                   if d.startswith("checkpoint_iter"))
+    assert first == ["checkpoint_iter00000002", "checkpoint_iter00000004"]
+    # widen the horizon and resume: new checkpoints continue 6, 8
+    train_fivek.main(base + ["--num_iters", "8", "--resume"])
+    second = sorted(d for d in os.listdir(ckdir)
+                    if d.startswith("checkpoint_iter"))
+    assert second == ["checkpoint_iter00000002", "checkpoint_iter00000004",
+                      "checkpoint_iter00000006", "checkpoint_iter00000008"]
