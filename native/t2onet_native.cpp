@@ -81,8 +81,10 @@ int rle_decode_counts(const int64_t* counts, int n_counts, int h, int w,
 // row-major -> dst (oh, ow, c).
 void resize_bilinear(const float* src, int h, int w, int c, float* dst,
                      int oh, int ow) {
-  const double sy = static_cast<double>(h) / oh;
-  const double sx = static_cast<double>(w) / ow;
+  // cv2 derives the scale as 1/(dst/src), NOT src/dst — the two differ in
+  // the last double bit, which matters where floor() sits on a boundary
+  const double sy = 1.0 / (static_cast<double>(oh) / h);
+  const double sx = 1.0 / (static_cast<double>(ow) / w);
   for (int y = 0; y < oh; ++y) {
     double fy = (y + 0.5) * sy - 0.5;
     int y0 = static_cast<int>(std::floor(fy));
@@ -112,8 +114,10 @@ void resize_bilinear(const float* src, int h, int w, int c, float* dst,
 // Nearest resize, cv2.INTER_NEAREST semantics (uint8 masks).
 void resize_nearest_u8(const uint8_t* src, int h, int w, uint8_t* dst,
                        int oh, int ow) {
-  const double sy = static_cast<double>(h) / oh;
-  const double sx = static_cast<double>(w) / ow;
+  // 1/(dst/src), not src/dst: at exact-integer products the cast-floor
+  // lands on a different source row otherwise (e.g. 14->18 row 9)
+  const double sy = 1.0 / (static_cast<double>(oh) / h);
+  const double sx = 1.0 / (static_cast<double>(ow) / w);
   for (int y = 0; y < oh; ++y) {
     int ys = std::min(static_cast<int>(y * sy), h - 1);
     for (int x = 0; x < ow; ++x) {

@@ -134,6 +134,10 @@ def convert_state_dict(sd: Dict, n_layers: int = 2,
         w1[i] = _t(sd[f"executor.{attr}.fc1.weight"])
         b1[i] = sd[f"executor.{attr}.fc1.bias"]
         k = sd[f"executor.{attr}.fc2.weight"].shape[0]
+        if k != _PARAM_COUNTS[i]:
+            raise ValueError(
+                f"executor.{attr}.fc2 has {k} outputs, expected "
+                f"{_PARAM_COUNTS[i]} (reference executor registration)")
         w2[i, :, :k] = _t(sd[f"executor.{attr}.fc2.weight"])
         b2[i, :k] = sd[f"executor.{attr}.fc2.bias"]
     params["heads"] = {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
@@ -227,6 +231,7 @@ def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
     import flax
 
     flat_ref = flax.traverse_util.flatten_dict(ref_params)
+    ref_prefixes = {p[:2] for p in flat_ref}
     out: Dict[Tuple, np.ndarray] = {}
     for key, w in sd.items():
         parts = key.split(".")
@@ -250,7 +255,7 @@ def convert_pix2pixhd(sd: Dict, ref_params: Dict) -> Dict:
             else:
                 raise KeyError(f"unexpected pix2pixHD key {key!r}")
         # LocalEnhancer's trimmed global lives under scope "model"
-        if ("model",) + path[:1] in {p[:2] for p in flat_ref}:
+        if ("model",) + path[:1] in ref_prefixes:
             path = ("model",) + path
         if leaf == "bias":
             out[path + ("bias",)] = w

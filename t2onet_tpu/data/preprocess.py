@@ -21,9 +21,12 @@ from t2onet_tpu.data.text import parse_sent
 def define_split(data_file: str, out_dir: str, session: int,
                  ratios=(0.7, 0.1, 0.2), seed: int = 0):
     """Split annotation list by unique input image (FiveK.py:8-41)."""
-    save_path = os.path.join(out_dir, f"train_sess_{session}.json")
-    if os.path.exists(save_path):
-        print(f"split session {session} already exists in {save_path}")
+    # all three phase files must exist for the skip — a run interrupted
+    # between phase writes would otherwise be skipped forever with
+    # val/test missing
+    if all(os.path.exists(os.path.join(out_dir, f"{ph}_sess_{session}.json"))
+           for ph in ("train", "val", "test")):
+        print(f"split session {session} already exists in {out_dir}")
         return
     os.makedirs(out_dir, exist_ok=True)
     with open(data_file) as f:
@@ -63,27 +66,20 @@ def save_txt2idx(split_dir: str, anno_dir: str, vocab2id: Dict[str, int],
     """Precompute padded request_idx rows into annotations
     (FiveK.py:56-93). max_len is the body length (START/END added)."""
     os.makedirs(anno_dir, exist_ok=True)
-    done = os.path.join(anno_dir, f"train_sess_{session}.json")
-    if os.path.exists(done):
-        print(f"text-to-index already exists in {done}")
+    if all(os.path.exists(os.path.join(anno_dir, f"{ph}_sess_{session}.json"))
+           for ph in ("train", "val", "test")):
+        print(f"text-to-index already exists in {anno_dir}")
         return
+    from t2onet_tpu.data.text import txt2idx
+
     for phase in ("train", "val", "test"):
         path = os.path.join(split_dir, f"{phase}_sess_{session}.json")
         with open(path) as f:
             data = json.load(f)
         for dic in data:
-            tokens = parse_sent(dic["request"])
-            ids = np.zeros(max_len, dtype=int)
-            valid = [vocab2id.get(t, 3) for t in tokens][:max_len]
-            ids[: len(valid)] = valid
-            out = ids.tolist()
-            zeros = np.where(ids == 0)[0]
-            if len(zeros) > 0:
-                out.insert(int(zeros[0]), 2)
-            else:
-                out.append(2)
-            out.insert(0, 1)
-            dic["request_idx"] = out
+            # txt2idx takes the TOTAL row length (body + START + END)
+            dic["request_idx"] = txt2idx(
+                dic["request"], vocab2id, max_len + 2)[0].tolist()
         save_path = os.path.join(anno_dir, f"{phase}_sess_{session}.json")
         with open(save_path, "w") as f:
             json.dump(data, f)

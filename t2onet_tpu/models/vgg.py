@@ -99,10 +99,12 @@ def make_vgg_loss(variables, weights=VGG_LOSS_WEIGHTS):
 
     def perceptual_fn(x, y):
         fx = model.apply(variables, x)
+        # the target branch is detached once, here (reference detaches
+        # per-feature, networks.py:124 — same effect)
         fy = model.apply(variables, jax.lax.stop_gradient(y))
         loss = jnp.zeros(())
         for w, a, b in zip(weights, fx, fy):
-            loss = loss + w * jnp.abs(a - jax.lax.stop_gradient(b)).mean()
+            loss = loss + w * jnp.abs(a - b).mean()
         return loss
 
     return perceptual_fn

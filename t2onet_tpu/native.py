@@ -80,7 +80,9 @@ def resize_bilinear(img_hwc: np.ndarray, oh: int, ow: int) -> np.ndarray:
         return out
     import cv2
 
-    return cv2.resize(img_hwc, (ow, oh), interpolation=cv2.INTER_LINEAR)
+    out = cv2.resize(img_hwc, (ow, oh), interpolation=cv2.INTER_LINEAR)
+    # cv2 drops a size-1 channel axis; keep the (oh, ow, c) contract
+    return out[..., None] if out.ndim == 2 else out
 
 
 def resize_nearest(mask: np.ndarray, oh: int, ow: int) -> np.ndarray:

@@ -36,11 +36,23 @@ def apply_operator(img, mask, param, opname: str):
 def _fit(img, target, inits, opname: str, n_iters: int = 300,
          lr: float = 0.05):
     """Fit params (S, k) minimizing the L2 residual of op(img, p) vs target
-    (the reference objective: (pred - out).norm(), operators.py:939-940)."""
+    (the reference objective: (pred - out).norm(), operators.py:939-940).
+
+    Gradients flow through a LEAKY clamp (slope 0.05 outside [0, 1]): the
+    hard clip's zero gradient strands every Adam start on a plateau when
+    the edit saturates (e.g. reversing a strong brightness push on a
+    bright image), a failure mode the reference's derivative-free
+    Nelder-Mead doesn't have. Residuals are always scored with the true
+    hard clamp."""
     fn = O.OP_FNS[opname]
 
-    def resid(params):
-        out = jax.vmap(lambda p: O.mask_blend(fn(img, p[None]), img))(params)
+    def resid(params, leak=0.0):
+        def one(p):
+            raw = fn(img, p[None])
+            hard = O.mask_blend(raw, img)
+            return hard + leak * (raw - jnp.clip(raw, 0.0, 1.0))
+
+        out = jax.vmap(one)(params)
         return jnp.sqrt(((out - target[None]) ** 2).sum(axis=(1, 2, 3, 4))
                         + 1e-12)
 
@@ -49,7 +61,7 @@ def _fit(img, target, inits, opname: str, n_iters: int = 300,
 
     def body(_, carry):
         p, s = carry
-        g = jax.grad(lambda q: resid(q).sum())(p)
+        g = jax.grad(lambda q: resid(q, leak=0.05).sum())(p)
         up, s = tx.update(g, s, p)
         return optax.apply_updates(p, up), s
 
@@ -65,9 +77,15 @@ def get_param_naive(img, out, mask, param0, opname: str, n_starts: int = 4,
     del mask  # reference passes mask=None in all reverse paths
     p0 = np.atleast_1d(np.asarray(param0, np.float32))
     rng = np.random.default_rng(0)
-    inits = np.stack([p0] + [p0 + rng.normal(0, 0.3, p0.shape)
-                             .astype(np.float32)
-                             for _ in range(n_starts - 1)])
+    # strategic starts beside p0: ops clamp internally (e.g. brightness's
+    # clip(v*(1+p))), so a p0 past the clamp knee (p0 <= -1 after a strong
+    # forward edit) has zero gradient at EVERY nearby start and Adam never
+    # moves — the reference's Nelder-Mead has no such plateau. Scaled-down
+    # and zero starts always include an interior point with signed gradient.
+    fixed = [p0, 0.5 * p0, np.zeros_like(p0)]
+    noise = [p0 + rng.normal(0, 0.3, p0.shape).astype(np.float32)
+             for _ in range(max(n_starts - len(fixed), 1))]
+    inits = np.stack(fixed + noise)
     params, resids = _fit(jnp.asarray(img), jnp.asarray(out),
                           jnp.asarray(inits), opname, n_iters, lr)
     best = int(jnp.argmin(resids))

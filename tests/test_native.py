@@ -55,3 +55,17 @@ def test_native_batch_resize(rng):
     out = native.batch_resize_bilinear(batch, 16, 16, n_threads=2)
     single = np.stack([native.resize_bilinear(im, 16, 16) for im in batch])
     np.testing.assert_allclose(out, single, atol=1e-7)
+
+
+def test_native_nearest_exact_boundary_pairs(rng):
+    """cv2 derives the nearest-resize scale as 1/(dst/src); computing
+    src/dst instead flips floor() at exact-integer products, silently
+    making masks build-dependent. Pin the pairs that exposed it."""
+    cv2 = pytest.importorskip("cv2")
+    for (h, w, oh, ow) in [(14, 14, 18, 18), (21, 21, 27, 27),
+                           (22, 22, 18, 18), (26, 26, 10, 10),
+                           (26, 26, 20, 20), (600, 400, 450, 300)]:
+        mask = (rng.uniform(size=(h, w)) > 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(
+            native.resize_nearest(mask, oh, ow),
+            cv2.resize(mask, (ow, oh), interpolation=cv2.INTER_NEAREST))

@@ -318,3 +318,24 @@ def test_reverse_sharpness_blur_pair():
     assert rev_ops_dict["blur"] == "sharpness"
     assert get_rev_param0([0.4], "contrast") == [-0.4]
     assert get_rev_param0([0.4], "blur") == [0.4]
+
+
+def test_reverse_strong_edit_escapes_clamp_plateau():
+    """Reversing a strong brightness push (p=1.5) puts the naive init
+    (-1.5) past brightness's internal clip knee where the gradient is
+    exactly zero; the strategic (scaled/zero) starts must still recover
+    the interior optimum instead of tripping the failure assert."""
+    import jax.numpy as jnp
+
+    from t2onet_tpu.ops import operators as O
+    from t2onet_tpu.ops.reverse import apply_operator, get_reverse
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.05, 0.4, (1, 3, 24, 24)).astype(np.float32)
+    out = np.asarray(O.mask_blend(
+        O.brightness(jnp.asarray(img), jnp.array([[1.5]])),
+        jnp.asarray(img)))
+    rev_param, rev_name = get_reverse(img, out, None, [1.5], "brightness")
+    assert rev_name == "brightness"
+    rec = np.asarray(apply_operator(out, None, rev_param, rev_name))
+    assert np.abs(rec - img).mean() < 0.01
