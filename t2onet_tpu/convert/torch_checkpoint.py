@@ -87,6 +87,11 @@ def convert_state_dict(sd: Dict, n_layers: int = 2,
                          "bias": sd["vis_encoder.fc.bias"]}}
     vis_s = {"BatchNorm_0": {"mean": sd["vis_encoder.bn1.running_mean"],
                              "var": sd["vis_encoder.bn1.running_var"]}}
+    if "vis_encoder.layer1.0.conv3.weight" in sd:
+        raise NotImplementedError(
+            "Bottleneck (depth 50/101/152) vis-encoder conversion is not "
+            "supported — the reference ships BasicBlock checkpoints only; "
+            "train Bottleneck depths from scratch")
     block = 0
     for stage, n_blocks in enumerate(blocks_per_stage, start=1):
         for i in range(n_blocks):

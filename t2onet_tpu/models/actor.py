@@ -43,6 +43,23 @@ EPISODE_OP_MASK = _np.array(
     [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0, 0.0], dtype=_np.float32
 )
 
+END_OP_ID = 2  # <END> position in the op vocab (reference actor.py:211)
+
+
+def _renorm_masked_probs(probs, op_mask, n_vocab):
+    """Hard-mask + renormalize (reference actor.py:227-228). When the
+    no-repeat mask is fully exhausted (decoder_max_len exceeds the number
+    of allowed ops — a config the reference never ships but the GIER CLIs
+    use), the renormalized row would be all-zero and the sampler would
+    degenerate to uniform over ALL ids including blocked ones; emit <END>
+    instead — always legal and semantically terminal (any step past the
+    first <END> is ignored downstream)."""
+    probs = probs * op_mask
+    total = probs.sum(axis=1, keepdims=True)
+    end = jax.nn.one_hot(
+        jnp.full((probs.shape[0],), END_OP_ID), n_vocab, dtype=probs.dtype)
+    return jnp.where(total > 0.0, probs / (total + 1e-30), end)
+
 
 class ParamHeads(nn.Module):
     """Stacked per-op parameter heads (reference operators.py:43-55, 73-88)."""
@@ -53,35 +70,21 @@ class ParamHeads(nn.Module):
 
     @nn.compact
     def __call__(self, context, with_raw: bool = False):
-        w1 = self.param(
-            "w1",
-            lambda k, s: jax.random.uniform(
-                k, s, minval=-1.0 / self.ctx_dim ** 0.5,
-                maxval=1.0 / self.ctx_dim ** 0.5),
-            (bank.N_OPS, self.ctx_dim, self.fc_dim),
-        )
-        b1 = self.param(
-            "b1",
-            lambda k, s: jax.random.uniform(
-                k, s, minval=-1.0 / self.ctx_dim ** 0.5,
-                maxval=1.0 / self.ctx_dim ** 0.5),
-            (bank.N_OPS, self.fc_dim),
-        )
-        w2 = self.param(
-            "w2",
-            lambda k, s: jax.random.uniform(
-                k, s, minval=-1.0 / self.fc_dim ** 0.5,
-                maxval=1.0 / self.fc_dim ** 0.5),
-            (bank.N_OPS, self.fc_dim, bank.MAX_PARAM),
-        )
-        b2 = self.param(
-            "b2",
-            lambda k, s: jax.random.uniform(
-                k, s, minval=-1.0 / self.fc_dim ** 0.5,
-                maxval=1.0 / self.fc_dim ** 0.5),
-            (bank.N_OPS, bank.MAX_PARAM),
-        )
-        heads = bank.HeadParams(w1=w1, b1=b1, w2=w2, b2=b2)
+        # shapes + torch-Linear uniform limits come from ONE shared spec
+        # (bank.head_init_specs) so the flax module can never drift from
+        # the standalone bank helper the tests oracle against
+        specs = bank.head_init_specs(self.ctx_dim, self.fc_dim)
+
+        def draw(name):
+            shape, lim = specs[name]
+            return self.param(
+                name,
+                lambda k, s, lim=lim: jax.random.uniform(
+                    k, s, minval=-lim, maxval=lim),
+                shape)
+
+        heads = bank.HeadParams(w1=draw("w1"), b1=draw("b1"),
+                                w2=draw("w2"), b2=draw("b2"))
         raw = bank.raw_head_features(heads, context)
         squashed = bank.squash_params(raw, self.opcfg)
         if with_raw:
@@ -309,8 +312,8 @@ class Actor(nn.Module):
             # explore smoothing + hard mask + renorm (actor.py:223-228)
             probs = (jnp.exp(logprob) * (1.0 - mdl.explore_prob)
                      + mdl.explore_prob)
-            probs = probs * op_mask
-            probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
+            probs = _renorm_masked_probs(probs, op_mask,
+                                         mdl.cfg.op_vocab_size)
             if sample:
                 key, sub = jax.random.split(key)
                 pred_op = jax.random.categorical(sub, jnp.log(probs + 1e-30),
@@ -397,8 +400,7 @@ class Actor(nn.Module):
         if op_mask is None:
             op_mask = jnp.broadcast_to(jnp.asarray(EPISODE_OP_MASK),
                                        (b, self.cfg.op_vocab_size))
-        probs = probs * op_mask
-        probs = probs / (probs.sum(axis=1, keepdims=True) + 1e-30)
+        probs = _renorm_masked_probs(probs, op_mask, self.cfg.op_vocab_size)
         rng, op_rng = jax.random.split(rng)
         pred_op = jax.random.categorical(op_rng, jnp.log(probs + 1e-30),
                                          axis=-1).astype(jnp.int32)

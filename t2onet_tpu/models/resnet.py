@@ -81,6 +81,10 @@ class Bottleneck(nn.Module):
         y = conv(out_planes, (1, 1))(y)
         y = norm()(y)
         if self.stride != 1 or x.shape[-1] != out_planes:
+            # conv-ONLY projection shortcut: the reference's Bottleneck
+            # deliberately omits the BatchNorm that its BasicBlock (and
+            # torchvision) put after the 1x1 (actor_resnet.py:58-62 vs
+            # 31-36) — parity means reproducing that quirk
             x = conv(out_planes, (1, 1), (self.stride, self.stride))(x)
         return nn.relu(y + x)
 

@@ -49,17 +49,27 @@ class HeadParams(NamedTuple):
     b2: jax.Array
 
 
+def head_init_specs(ctx_dim: int = 512, fc_dim: int = 512):
+    """name -> (shape, uniform limit) for the four head tensors — the ONE
+    place defining the torch nn.Linear kaiming-uniform init contract
+    (shared by init_head_params and models.actor.ParamHeads)."""
+    lim1 = 1.0 / float(ctx_dim) ** 0.5
+    lim2 = 1.0 / float(fc_dim) ** 0.5
+    return {
+        "w1": ((N_OPS, ctx_dim, fc_dim), lim1),
+        "b1": ((N_OPS, fc_dim), lim1),
+        "w2": ((N_OPS, fc_dim, MAX_PARAM), lim2),
+        "b2": ((N_OPS, MAX_PARAM), lim2),
+    }
+
+
 def init_head_params(key, ctx_dim: int = 512, fc_dim: int = 512) -> HeadParams:
     """Kaiming-uniform init matching torch nn.Linear defaults."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    lim1 = 1.0 / jnp.sqrt(ctx_dim)
-    lim2 = 1.0 / jnp.sqrt(fc_dim)
-    return HeadParams(
-        w1=jax.random.uniform(k1, (N_OPS, ctx_dim, fc_dim), minval=-lim1, maxval=lim1),
-        b1=jax.random.uniform(k2, (N_OPS, fc_dim), minval=-lim1, maxval=lim1),
-        w2=jax.random.uniform(k3, (N_OPS, fc_dim, MAX_PARAM), minval=-lim2, maxval=lim2),
-        b2=jax.random.uniform(k4, (N_OPS, MAX_PARAM), minval=-lim2, maxval=lim2),
-    )
+    specs = head_init_specs(ctx_dim, fc_dim)
+    keys = jax.random.split(key, 4)
+    draws = {name: jax.random.uniform(k, shape, minval=-lim, maxval=lim)
+             for k, (name, (shape, lim)) in zip(keys, specs.items())}
+    return HeadParams(**draws)
 
 
 def raw_head_features(heads: HeadParams, context: jax.Array) -> jax.Array:

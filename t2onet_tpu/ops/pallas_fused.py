@@ -37,35 +37,6 @@ CURVE_STEPS = 8
 # fp32; scalars come in as a (24,) f32 read from SMEM
 # ---------------------------------------------------------------------------
 
-def _rgb_to_hsv(r, g, b):
-    maxc = jnp.maximum(jnp.maximum(r, g), b)
-    minc = jnp.minimum(jnp.minimum(r, g), b)
-    delta = maxc - minc
-    s = delta / (maxc + 1e-8)
-    safe = jnp.where(delta > 0, delta, 1.0)
-    h_r = jnp.mod((g - b) / safe, 6.0)
-    h_g = (b - r) / safe + 2.0
-    h_b = (r - g) / safe + 4.0
-    h = jnp.where(maxc == r, h_r, jnp.where(maxc == g, h_g, h_b))
-    h = jnp.where(delta > 0, h / 6.0, 0.0)
-    return h, s, maxc
-
-
-def _hsv_to_rgb(h, s, v):
-    h6 = jnp.mod(h, 1.0) * 6.0
-    i = jnp.floor(h6)
-    f = h6 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i0, i1, i2 = (i == 0), (i == 1), (i == 2)
-    i3, i4, i5 = (i == 3), (i == 4), (i == 5)
-    r = jnp.where(i0 | i5, v, jnp.where(i1, q, jnp.where(i4, t, p)))
-    g = jnp.where(i0, t, jnp.where(i1 | i2, v, jnp.where(i3, q, p)))
-    b = jnp.where(i2, t, jnp.where(i3 | i4, v, jnp.where(i5, q, p)))
-    return r, g, b
-
-
 def _brightness(img, p):
     # RGB-domain exact form of the HSV value scale (see ops/operators.py)
     v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
@@ -222,8 +193,8 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
     b, _, h, w = imgs.shape
     k = op_slots.shape[1]
     if interpret is None:
-        # Mosaic only compiles for TPU; fall back to the interpreter on CPU
-        interpret = jax.default_backend() == "cpu"
+        # Mosaic only compiles for TPU; interpret everywhere else
+        interpret = jax.default_backend() != "tpu"
 
     img_spec = pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -361,7 +332,7 @@ def _make_fused_step(with_mask: bool):
         imgs, op_slots, params = res[:3]
         mask = res[3] if with_mask else None
         d_img, d_params = _step_bwd(imgs, op_slots, params, g, mask,
-                                    interpret=jax.default_backend() == "cpu")
+                                    interpret=jax.default_backend() != "tpu")
         if with_mask:
             return d_img, None, d_params, None
         return d_img, None, d_params
@@ -409,16 +380,16 @@ def fused_chain_sharded(imgs: jax.Array, op_slots: jax.Array,
                         interpret: bool | None = None) -> jax.Array:
     """Multi-chip fused_chain: batch sharded over the mesh's first axis,
     one independent Pallas kernel per chip, no collectives (op chains are
-    per-image). Throughput scales linearly in chips; B must divide the
-    mesh size.
+    per-image). Throughput scales linearly in chips; the first mesh axis's
+    size must divide B (other axes replicate).
     """
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = mesh.shape[axis]
     if imgs.shape[0] % n:
-        raise ValueError(f"batch {imgs.shape[0]} not divisible by "
-                         f"mesh size {n}")
+        raise ValueError(f"batch {imgs.shape[0]} not divisible by the "
+                         f"{axis!r} mesh axis size {n}")
 
     if mask is None:
         def local(i, s, p):

@@ -229,3 +229,26 @@ def test_actor_vis_bf16_episode_runs():
     assert np.isfinite(np.asarray(out["imgs"])).all()
     for leaf in jax.tree_util.tree_leaves(variables["params"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_episode_mask_exhaustion_emits_end():
+    """decoder_max_len > the 7 allowed ops (the GIER CLIs use 8): once the
+    no-repeat mask is fully consumed, the step must emit <END> — not a
+    renormalized all-zero row that degenerates to uniform over blocked
+    ids (NONE/START/inpaint/color_bg)."""
+    from tests.conftest import tiny_model_config
+
+    cfg = tiny_model_config(encoder_max_len=L, decoder_max_len=9)
+    actor = Actor(cfg=cfg, opcfg=OperatorConfig(), vocab_size=VOCAB)
+    x = jnp.array([[1, 5, 6, 7, 2, 0, 0, 0, 0],
+                   [1, 8, 2, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (B, 3, HW, HW))
+    variables = actor.init({"params": jax.random.PRNGKey(0)}, x, img)
+    blocked = np.where(np.asarray(EPISODE_OP_MASK) == 0)[0]
+    for sample, rng in ((False, None), (True, jax.random.PRNGKey(3))):
+        out = actor.apply(variables, x, img, rng=rng, sample=sample,
+                          method=Actor.episode)
+        ops = np.asarray(out["ops"])          # (B, 9): 7 allowed ops + 2
+        assert not np.isin(ops, blocked).any(), ops
+        # steps 8-9 can only be <END> (every other allowed op is used up)
+        assert (ops[:, 7:] == 2).all(), ops
