@@ -100,9 +100,10 @@ def test(actor, state, ds, a, id2op, visualize: bool = False,
                        f"inference result trial {a.trial}")
         webpage.add_header(f"Visualization of result for trial {a.trial}")
 
-    n_batches = max(len(ds) // 16, 1)
+    # sequential covers EVERY item (the reference's per-item protocol);
+    # the short tail batch costs one extra eval compile
     sample_id = 0
-    for batch in ds.batches(16, n_batches, shuffle=False):
+    for batch in ds.batches(16, 0, shuffle=False, sequential=True):
         b = {"x": jnp.asarray(batch["x"]), "img_x": jnp.asarray(batch["img_x"])}
         pred, out = eval_fn(state, b)
         gt = jnp.asarray(batch["img_y"][:, -1])

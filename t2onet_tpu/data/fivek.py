@@ -18,6 +18,8 @@ from typing import Dict, List
 import numpy as np
 
 from t2onet_tpu.ops import bank
+from t2onet_tpu.data.iteration import (epoch_index_batches,
+                                       sequential_index_batches)
 from t2onet_tpu.data.text import START_ID, END_ID
 
 # Planner op-name order == executor order (reference FiveKdataset.py:78-79);
@@ -126,19 +128,17 @@ class FiveK:
                 np.asarray(d["request_idx"], np.int64), d["request"])
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
-                seed: int = 0):
+                seed: int = 0, sequential: bool = False):
         """Eval-shaped batches: img_y has a single step axis so consumers
-        can uniformly take img_y[:, -1] as ground truth."""
-        rng = np.random.default_rng(seed)
-        idxs = np.arange(len(self))
-        i = len(self)
-        for _ in range(steps):
-            if i + batch_size > len(self):
-                i = 0
-                if shuffle:
-                    rng.shuffle(idxs)
-            sel = idxs[i:i + batch_size]
-            i += batch_size
+        can uniformly take img_y[:, -1] as ground truth. sequential=True
+        covers every item exactly once (short tail batch; steps/shuffle
+        ignored) — the exhaustive-eval mode."""
+        if sequential:
+            sels = sequential_index_batches(len(self), batch_size)
+        else:
+            sels = epoch_index_batches(len(self), batch_size, steps, shuffle,
+                                       np.random.default_rng(seed))
+        for sel in sels:
             items = [self[int(j)] for j in sel]
             yield {
                 "img_x": np.stack([it[0] for it in items]),
@@ -187,15 +187,8 @@ class FiveKAct(FiveK):
         return self._batches_impl(batch_size, steps, shuffle, rng)
 
     def _batches_impl(self, batch_size, steps, shuffle, rng):
-        idxs = np.arange(len(self))
-        i = len(self)
-        for _ in range(steps):
-            if i + batch_size > len(self):
-                i = 0
-                if shuffle:
-                    rng.shuffle(idxs)
-            sel = idxs[i:i + batch_size]
-            i += batch_size
+        for sel in epoch_index_batches(len(self), batch_size, steps,
+                                       shuffle, rng):
             items = [self[int(j)] for j in sel]
             yield {
                 "img_x": np.stack([it[0] for it in items]),

@@ -19,6 +19,8 @@ from typing import Dict, List
 
 import numpy as np
 
+from t2onet_tpu.data.iteration import (epoch_index_batches,
+                                       sequential_index_batches)
 from t2onet_tpu.data.rle import rle_decode
 from t2onet_tpu.data.text import parse_sent, load_vocab, START_ID, END_ID
 from t2onet_tpu.data.fivek import (
@@ -154,15 +156,21 @@ class GIER:
         # .json': every GIER input is named '{id}_{id}.jpg' (verified over
         # all sess-3 splits), matching the reference's two spellings
         # (GIER.py:268 vs 298)
-        with open(os.path.join(self.mask_dir,
-                               f"{name}_{name}_mask.json")) as f:
-            rles = json.load(f)
+        cached = getattr(self, "_mask_file_cache", None)
+        if cached is not None and cached[0] == name:
+            rles = cached[1]     # several local ops share one item's file
+        else:
+            with open(os.path.join(self.mask_dir,
+                                   f"{name}_{name}_mask.json")) as f:
+                rles = json.load(f)
+            self._mask_file_cache = (name, rles)
         # native C++ RLE decode + nearest resize when built (numpy/cv2
-        # fallback otherwise) — replaces pycocotools/cv2 wheels
-        masks = [native.resize_nearest(native.rle_decode(r), h, w)
-                 for r in rles]
-        masks = np.asarray(masks, bool)[np.asarray(mask_ids, int)]
-        return np.clip(masks.sum(0), 0, 1).astype(np.uint8)
+        # fallback otherwise) — replaces pycocotools/cv2 wheels. Decode
+        # ONLY the selected ids: a mask file can hold dozens of instances
+        # and this runs once per local op per item fetch.
+        masks = [native.resize_nearest(native.rle_decode(rles[int(i)]), h, w)
+                 for i in np.atleast_1d(np.asarray(mask_ids, int))]
+        return np.clip(np.asarray(masks, bool).sum(0), 0, 1).astype(np.uint8)
 
     # ---- items ----------------------------------------------------------
     def get_op_info(self, pair_id: int):
@@ -281,39 +289,19 @@ class GIERDataset:
                 blob[key] = np.stack([np.asarray(b[key]) for b in batch])
         return blob
 
-    def _clamped_batch_size(self, batch_size: int) -> int:
-        """Shared batches() preamble: raise on an empty selection, clamp
-        an oversized request. Clamp, don't raise: a small val split must
-        not kill the training run at its first evaluation; the clamped
-        size is the SAME every call, so the jitted eval step still sees
-        one stable compiled shape."""
-        if len(self) == 0:
-            raise ValueError(
-                "empty dataset: the data_mode/phase/session selection "
-                "matched no items — nothing to batch")
-        if batch_size > len(self):
-            print(f"warning: batch_size {batch_size} > dataset size "
-                  f"{len(self)} — clamping to {len(self)}")
-            batch_size = len(self)
-        return batch_size
-
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
-                seed: int = 0):
+                seed: int = 0, sequential: bool = False):
         """Eval-shaped batches (no planner actions): img_y gets a single
         step axis so consumers take img_y[:, -1] as ground truth, matching
         data.fivek.FiveK.batches. Requires fixed image shapes
-        (phase='train' or eval_img_mode='train_size')."""
-        batch_size = self._clamped_batch_size(batch_size)
-        rng = np.random.default_rng(seed)
-        idxs = np.arange(len(self))
-        i = len(self)
-        for _ in range(steps):
-            if i + batch_size > len(self):
-                i = 0
-                if shuffle:
-                    rng.shuffle(idxs)
-            sel = idxs[i:i + batch_size]
-            i += batch_size
+        (phase='train' or eval_img_mode='train_size'). sequential=True
+        covers every item exactly once (short tail batch)."""
+        if sequential:
+            sels = sequential_index_batches(len(self), batch_size)
+        else:
+            sels = epoch_index_batches(len(self), batch_size, steps, shuffle,
+                                       np.random.default_rng(seed))
+        for sel in sels:
             items = [self[int(j)] for j in sel]
             yield {
                 "img_x": np.stack([it["input"] for it in items]),
@@ -361,17 +349,9 @@ class GIERDatasetAct(GIERDataset):
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):
-        batch_size = self._clamped_batch_size(batch_size)
-        rng = np.random.default_rng(seed)
-        idxs = np.arange(len(self))
-        i = len(self)
-        for _ in range(steps):
-            if i + batch_size > len(self):
-                i = 0
-                if shuffle:
-                    rng.shuffle(idxs)
-            sel = idxs[i:i + batch_size]
-            i += batch_size
+        for sel in epoch_index_batches(len(self), batch_size, steps,
+                                       shuffle,
+                                       np.random.default_rng(seed)):
             items = [self[int(j)] for j in sel]
             batch = {
                 "img_x": np.stack([it["input"] for it in items]),

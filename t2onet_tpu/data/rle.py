@@ -3,8 +3,9 @@
 Replaces the pycocotools C extension the reference relies on (reference:
 data/GIER/GIER.py:18, 272). The format (pycocotools rleFrString): counts
 are stored as a printable-ASCII LEB128 variant (5 bits/char, offset 48,
-bit 5 = continuation, sign-extended), with every count after the second
-delta-encoded against the count two positions back; the mask unrolls
+bit 5 = continuation, sign-extended), with every count from the FOURTH
+onward delta-encoded against the count two positions back (rleFrString:
+`if (m > 2) x += cnts[m-2]` — the first three are raw); the mask unrolls
 column-major (Fortran order), starting with zeros.
 
 A C++ implementation with the same contract lives in native/ (used when

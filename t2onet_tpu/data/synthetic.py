@@ -68,6 +68,7 @@ _TEMPLATES = {
 _VOCAB = ["<NONE>", "<START>", "<END>", "<UNK>"] + sorted(
     {w for groups in _TEMPLATES.values() for temps, _ in groups
      for t in temps for w in t.split() if len(w) > 1}
+    | {"and"}   # multi-op requests join clauses with ' and ' (make_item)
 )
 
 
@@ -174,16 +175,11 @@ class SyntheticFiveK:
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True):
         """Yield `steps` collated numpy batches."""
+        from t2onet_tpu.data.iteration import epoch_index_batches
+
         order_rng = np.random.default_rng(self.seed + 999)
-        idxs = np.arange(self.n)
-        i = 0
-        for _ in range(steps):
-            if i + batch_size > self.n:
-                i = 0
-                if shuffle:
-                    order_rng.shuffle(idxs)
-            sel = idxs[i:i + batch_size]
-            i += batch_size
+        for sel in epoch_index_batches(self.n, batch_size, steps, shuffle,
+                                       order_rng):
             items = [self.make_item(int(j)) for j in sel]
             yield {
                 "img_x": np.stack([it[0] for it in items]),

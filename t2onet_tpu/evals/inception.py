@@ -245,8 +245,13 @@ def make_features_fn(variables, resize: bool = True,
         # eager resize costs one tiny compile per shape; `run` compiles
         # once at the fixed (N, 3, 299, 299).
         if resize and imgs.shape[-2:] != (299, 299):
+            # antialias=False: the reference protocol is pytorch-fid's
+            # F.interpolate(mode='bilinear') which does NOT antialias;
+            # jax.image.resize defaults to antialias=True and would widen
+            # the kernel on the downsample, shifting pool3 features
             imgs = jax.image.resize(
-                imgs, (imgs.shape[0], 3, 299, 299), "bilinear")
+                imgs, (imgs.shape[0], 3, 299, 299), "bilinear",
+                antialias=False)
         return run(imgs)
 
     return features

@@ -261,3 +261,36 @@ def test_bucketing_rejects_oversize_and_fit_within():
     # already-fitting images pass through untouched
     ok = np.zeros((3, 600, 899), np.float32)
     assert fit_within(ok, 1024) is ok
+
+
+def test_epoch_index_batches_shuffles_first_epoch():
+    """The shared iterator reshuffles at EVERY epoch boundary including
+    the first (the synthetic copy had drifted to a fixed-order first
+    epoch before the logic was centralized)."""
+    from t2onet_tpu.data.iteration import epoch_index_batches
+
+    rng = np.random.default_rng(0)
+    first = next(epoch_index_batches(64, 16, 4, True, rng))
+    assert not np.array_equal(first, np.arange(16))
+    # unshuffled mode stays strictly ordered
+    rng = np.random.default_rng(0)
+    seq = list(epoch_index_batches(8, 4, 2, False, rng))
+    np.testing.assert_array_equal(np.concatenate(seq), np.arange(8))
+
+
+def test_sequential_batches_cover_every_item():
+    """sequential=True yields every index once, with a short tail batch —
+    the exhaustive-eval mode (the old len//bs loop dropped the tail)."""
+    from t2onet_tpu.data.iteration import sequential_index_batches
+
+    sels = list(sequential_index_batches(19, 8))
+    assert [len(s) for s in sels] == [8, 8, 3]
+    np.testing.assert_array_equal(np.concatenate(sels), np.arange(19))
+
+    from t2onet_tpu.data.synthetic import SyntheticFiveK
+
+    ds = SyntheticFiveK(n=5, img_size=8, seed=0, req_max_len=8)
+    # FiveK.batches(sequential=True) shares the same index generator;
+    # exercise the synthetic eval-shape path via epoch mode for contrast
+    got = [b["img_x"].shape[0] for b in ds.batches(2, 3, shuffle=False)]
+    assert got == [2, 2, 2]

@@ -50,9 +50,12 @@ def _to_jnp(batch):
 def test_supervised_step_decreases_loss(setup, sup_step):
     actor, state, ds = setup
     step = sup_step
+    # one FIXED batch, stepped repeatedly: comparing losses measured on
+    # different shuffled batches is apples-to-oranges and flaky
+    batch = _to_jnp(next(ds.batches(batch_size=8, steps=1, shuffle=False)))
     losses = []
-    for batch in ds.batches(batch_size=8, steps=6):
-        state, m = step(state, _to_jnp(batch))
+    for _ in range(6):
+        state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
