@@ -124,12 +124,35 @@ def args_to_config(a) -> Config:
                   dataset=a.dataset, session=a.session)
 
 
-def resolve_run_dir(a) -> str:
+def resolve_run_dir(a, record: bool = True) -> str:
+    """record=False for read-only CLIs (demo/test/serve): they must not
+    overwrite the opt.json that documents the flags which PRODUCED the
+    run dir's checkpoints (the only record of the model geometry)."""
     run_dir = a.run_dir or f"output/{a.dataset}_trial_{a.trial}"
     os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "opt.json"), "w") as f:
-        json.dump(vars(a), f, indent=2, default=str)
+    if record:
+        with open(os.path.join(run_dir, "opt.json"), "w") as f:
+            json.dump(vars(a), f, indent=2, default=str)
     return run_dir
+
+
+def build_vocab_only(a):
+    """(vocab2id, id2op_vocab, word2vec or None) WITHOUT touching dataset
+    annotations/images — for CLIs like demo that edit a user-supplied
+    image and need only tokenization (reference demo/seq2seqL1.py loads
+    just the vocab files)."""
+    if a.synthetic:
+        from t2onet_tpu.data.synthetic import synthetic_vocab
+
+        return synthetic_vocab(), _default_id2op(), None
+    from t2onet_tpu.data.text import load_vocab, load_embedding
+
+    vocab_dir = os.path.join(a.data_dir, "language")
+    vocab2id, _, _, id2op = load_vocab(vocab_dir, a.dataset, a.session)
+    glove_path = os.path.join(
+        vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
+    w2v = load_embedding(glove_path) if os.path.exists(glove_path) else None
+    return vocab2id, id2op, w2v
 
 
 def build_dataset_and_vocab(a, phase: str = "train",

@@ -87,10 +87,22 @@ def main(argv=None):
         PytreeCheckpointer(os.path.join(run_dir, ckpt_name, "disc")).save(
             {"d_params": d_params, "d_batch_stats": d_bs}, 0, best=True)
 
+    # Re-conversion must fully replace a previous one: stale stats.json
+    # would keep best_val_dist=0.0 and `0.0 < 0.0` never refreshes
+    # checkpoint_best, silently serving the OLD weights (and, for gan, an
+    # actor-best/disc-best pair from DIFFERENT conversions).
+    import shutil
+
+    ckpt_dir = os.path.join(run_dir, ckpt_name)
+    for stale in ("stats.json", "checkpoint_best"):
+        path = os.path.join(ckpt_dir, stale)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
     # val_dist=0.0 marks the imported weights as checkpoint_best, which is
     # what test_fivek/demo/serve restore by default
-    CheckpointManager(os.path.join(run_dir, ckpt_name)).save(
-        state, 0, val_dist=0.0)
+    CheckpointManager(ckpt_dir).save(state, 0, val_dist=0.0)
     n = sum(int(x.size) for x in jax.tree_util.tree_leaves(state.params))
     print(f"converted {a.torch_ckpt} ({a.kind}, {n:,} params) -> "
           f"{os.path.join(run_dir, ckpt_name)}")

@@ -32,13 +32,19 @@ def main(argv=None):
     p.add_argument("--request", default="increase the brightness")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--short_size", type=int, default=600)
+    p.add_argument("--ckpt_name", default=None,
+                   help="checkpoint subdir (default: auto-discover "
+                        "seq2seqL1_model / seq2seqGAN_model / "
+                        "seq2seqRL_model in the run dir)")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
-    run_dir = common.resolve_run_dir(a)
+    run_dir = common.resolve_run_dir(a, record=False)
     out_dir = a.out_dir or os.path.join(run_dir, "demo")
     os.makedirs(out_dir, exist_ok=True)
 
-    _, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "test")
+    # vocab only — demo edits a user-supplied image and must not require
+    # dataset annotations/images (reference demo/seq2seqL1.py)
+    vocab2id, id2op, w2v = common.build_vocab_only(a)
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
 
     if a.img:
@@ -52,10 +58,17 @@ def main(argv=None):
 
     state = create_train_state(actor, jax.random.PRNGKey(a.manual_seed),
                                jnp.asarray(x_idx), jnp.asarray(img))
-    ckpt_dir = os.path.join(run_dir, "seq2seqL1_model")
-    if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")):
-        state = CheckpointManager(ckpt_dir).restore(state, "best")
-        print(f"loaded checkpoint from {ckpt_dir}")
+    # auto-discover the checkpoint subdir: a run dir may come from
+    # train_fivek (seq2seqL1_model), convert --kind gan / train_gan
+    # (seq2seqGAN_model), or train_rl (seq2seqRL_model)
+    names = ([a.ckpt_name] if a.ckpt_name else
+             ["seq2seqL1_model", "seq2seqGAN_model", "seq2seqRL_model"])
+    for name in names:
+        ckpt_dir = os.path.join(run_dir, name)
+        if os.path.exists(os.path.join(ckpt_dir, "checkpoint_best")):
+            state = CheckpointManager(ckpt_dir).restore(state, "best")
+            print(f"loaded checkpoint from {ckpt_dir}")
+            break
     else:
         print("WARNING: no checkpoint — using random init")
 

@@ -59,7 +59,7 @@ def build_engine(a):
     i0 = jnp.zeros((1, 3, a.decode_size, a.decode_size))
     state = create_train_state(actor, jax.random.PRNGKey(a.manual_seed),
                                x0, i0)
-    run_dir = common.resolve_run_dir(a)
+    run_dir = common.resolve_run_dir(a, record=False)
     import os
 
     ckpt_dir = os.path.join(run_dir, "seq2seqL1_model")

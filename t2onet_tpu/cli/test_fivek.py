@@ -161,7 +161,7 @@ def main(argv=None):
                         "0 = plain torchvision")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
-    run_dir = common.resolve_run_dir(a)
+    run_dir = common.resolve_run_dir(a, record=False)
 
     ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "test")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)

@@ -131,14 +131,11 @@ def gan_loss(preds: Sequence[Sequence[jax.Array]], target_is_real: bool,
         if use_lsgan:
             total = total + ((pred - target) ** 2).mean()
         else:
-            total = total + optax_sigmoid_bce(pred, target)
+            import optax
+
+            total = total + optax.sigmoid_binary_cross_entropy(
+                pred, jnp.full_like(pred, target)).mean()
     return total
-
-
-def optax_sigmoid_bce(logits, target: float):
-    p = jax.nn.log_sigmoid(logits)
-    q = jax.nn.log_sigmoid(-logits)
-    return -(target * p + (1.0 - target) * q).mean()
 
 
 def feature_matching_loss(pred_fake, pred_real, n_layers: int = 3,

@@ -23,13 +23,14 @@ from typing import Iterable, Optional, Sequence
 import numpy as np
 
 from t2onet_tpu.planner.beam import beam_search, init_distance
+from t2onet_tpu.planner.fit import DEFAULT_PLAN_OPS
 from t2onet_tpu.evals.visualize import save_img
 
 
 def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
               out_dir: str, index: int, phase: str = "train",
               beam_size: int = 3,
-              operations: Sequence[int] = (0, 1, 2, 3, 5, 6),
+              operations: Sequence[int] = DEFAULT_PLAN_OPS,
               max_step: Optional[int] = None, err: float = 1e-2,
               mode: str = "plain", n_starts: int = 2, n_iters: int = 100,
               lr: float = 0.05, seed: int = 0, dist_type: str = "l1",
@@ -47,6 +48,17 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
         max_step=max_step, err=err, mode=mode, n_starts=n_starts,
         n_iters=n_iters, lr=lr, seed=seed + index, dist_type=dist_type,
         score_fn=score_fn, score_aux=score_aux)
+    return _write_item(out_dir, phase, index, request, img_x, img_y,
+                       actions, images)
+
+
+def _write_item(out_dir, phase, index, request, img_x, img_y, actions,
+                images) -> dict:
+    """Write one planned pair's edit images + JSON (the layout FiveKAct
+    consumes). Images FIRST, JSON LAST: the JSON is the completion marker
+    the fleet's verify pass checks — a worker killed mid-item must not
+    leave a verifiable JSON whose edit{k}.jpg teachers are missing
+    (FiveKAct substitutes zeros for absent step images)."""
     item_dir = os.path.join(out_dir, f"{phase}{index}")
     os.makedirs(item_dir, exist_ok=True)
     info = {
@@ -54,10 +66,6 @@ def plan_pair(img_x: np.ndarray, img_y: np.ndarray, request: str,
         "init distance": init_distance(img_x, img_y),
         "operation sequence": [[list(a) for a in seq] for seq in actions],
     }
-    # images FIRST, JSON LAST: the JSON is the completion marker the
-    # fleet's verify pass checks — a worker killed mid-item must not
-    # leave a verifiable JSON whose edit{k}.jpg teachers are missing
-    # (FiveKAct substitutes zeros for absent step images)
     for k, img in enumerate(images[0]):             # top beam step images
         save_img(np.asarray(img)[0], os.path.join(item_dir, f"edit{k}.jpg"))
     with open(os.path.join(item_dir, f"{index:05d}.json"), "w") as f:
@@ -113,6 +121,12 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
         nonlocal n
         if not buf:
             return
+        # pad a short tail batch up to pair_batch by repeating the last
+        # pair (extras are dropped by the zip below): once the full shape
+        # is compiled, a smaller tail shape would recompile every jitted
+        # fit program just to plan a handful of pairs
+        if n > 0 and len(buf) < pair_batch:
+            buf.extend([buf[-1]] * (pair_batch - len(buf)))
         I0 = np.concatenate([b[0] for b in buf], axis=0)
         Igt = np.concatenate([b[1] for b in buf], axis=0)
         # seed varies per batch (first item index) on top of the caller's
@@ -123,20 +137,8 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
                                     **plan_kwargs)
         for (actions, images), (idx, request, img_x, img_y) in zip(results,
                                                                    metas):
-            item_dir = os.path.join(out_dir, f"{phase}{idx}")
-            os.makedirs(item_dir, exist_ok=True)
-            info = {
-                "request": request,
-                "init distance": init_distance(img_x, img_y),
-                "operation sequence": [[list(a) for a in seq]
-                                       for seq in actions],
-            }
-            for k, img in enumerate(images[0]):
-                save_img(np.asarray(img)[0],
-                         os.path.join(item_dir, f"edit{k}.jpg"))
-            # JSON last: the fleet verify's completion marker
-            with open(os.path.join(item_dir, f"{idx:05d}.json"), "w") as f:
-                json.dump(info, f)
+            _write_item(out_dir, phase, idx, request, img_x, img_y,
+                        actions, images)
             n += 1
         buf.clear()
         metas.clear()
