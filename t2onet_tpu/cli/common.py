@@ -85,7 +85,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--explore_prob", type=float, default=0.05)
     p.add_argument("--print_every", type=int, default=100)
     p.add_argument("--checkpoint_every", type=int, default=1000)
-    p.add_argument("--val_batches", type=int, default=8)
+    p.add_argument("--val_batches", type=int, default=8,
+                   help="validation batches per checkpoint; 0 skips "
+                        "in-training validation (checkpoints still saved, "
+                        "no best tracking)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max_keep_ckpts", type=int, default=0,
                    help="prune all but the newest N step checkpoints "

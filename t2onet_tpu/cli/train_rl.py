@@ -120,12 +120,17 @@ def main(argv=None):
                 logger.log(itr, **avg)
 
             if itr % a.checkpoint_every == 0 or itr >= total:
-                val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
-                               a.val_batches, eval_fn)
-                best = ckpt.save(state, itr, val)
-                logger.log(itr, val_L1=val)
-                if best:
-                    print(f"best model at iter {itr} (val L1 {val:.4f})")
+                if a.val_batches > 0:
+                    val = evaluate(actor, state, val_ds,
+                                   min(a.batch_size, 16), a.val_batches,
+                                   eval_fn)
+                    best = ckpt.save(state, itr, val)
+                    logger.log(itr, val_L1=val)
+                    if best:
+                        print(f"best model at iter {itr} "
+                              f"(val L1 {val:.4f})")
+                else:       # --val_batches 0: checkpoint without validating
+                    ckpt.save(state, itr, None)
             if itr >= total:
                 break
     finally:

@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # step XLA compiles on this 1-core box; cached re-runs cut minutes.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_t2onet"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -113,7 +113,11 @@ def test_inception_v3_shapes():
         InceptionV3Features, convert_torchvision_inception, make_features_fn)
 
     model = InceptionV3Features()
-    x = jnp.zeros((1, 3, 299, 299))
+    # 95px (not the FID protocol's 299) keeps this an architecture-only
+    # check while cutting the 1-core CPU compile several-fold; the global
+    # pool makes the 2048-d output size-invariant past torchvision's
+    # 75px minimum
+    x = jnp.zeros((1, 3, 95, 95))
     variables = model.init(jax.random.PRNGKey(0), x)
     feats = model.apply(variables, x)
     assert feats.shape == (1, 2048)

@@ -154,7 +154,7 @@ def test_train_fivek_resume_continues_numbering(tmp_path):
     base = ["--cpu", "--synthetic", "--synthetic_n", "16",
             "--img_size", "16", "--batch_size", "4",
             "--checkpoint_every", "2", "--print_every", "2",
-            "--val_batches", "1", "--fs_only", "--hidden_size", "16",
+            "--val_batches", "0", "--fs_only", "--hidden_size", "16",
             "--word_vec_dim", "8", "--operator_fc_dim", "16",
             "--n_layers", "1", "--decoder_max_len", "3",
             "--encoder_max_len", "6", "--resnet_widths", "8,8,16,16",
