@@ -122,3 +122,94 @@ def test_real_workspace_planner_roundtrip(real_workspace):
     inp, outs, req_idx, ops, params, req = ds[0]
     assert ops[0] == 1 and (ops == 2).any()      # START ... END
     assert np.isfinite(params).all()
+
+
+# ---------------------------------------------------------------------------
+# GIER: the reference's real sess-3 splits / vocab / GloVe
+# ---------------------------------------------------------------------------
+
+def test_real_gier_vocab_and_glove_consistent():
+    """Real GIER vocab (2,279 tokens incl. 4 specials) matches the GloVe
+    h5 (2275, 300) with the frozen-GloVe-trainable-specials layout
+    (reference data/language/GIER_*, lang_encoder.py:54-60)."""
+    from t2onet_tpu.data.text import load_embedding, load_vocab
+
+    lang = os.path.join(REF, "data", "language")
+    vocab2id, _, op2id, _ = load_vocab(lang, "GIER", 3)
+    w2v = np.asarray(load_embedding(
+        os.path.join(lang, "GIER_vocabs_glove_feat_3.h5")))
+    assert len(op2id) == 11
+    assert w2v.shape == (len(vocab2id) - 4, 300)
+    # specials occupy ids 0-3 exactly
+    assert [vocab2id[t] for t in
+            ("<NONE>", "<START>", "<END>", "<UNK>")] == [0, 1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def real_gier_workspace(tmp_path_factory):
+    from scripts.prepare_real_gier import prepare
+
+    out = tmp_path_factory.mktemp("gier_real")
+    counts = prepare(REF, str(out), limit=24, img_size=64)
+    return str(out), counts
+
+
+def test_real_gier_index_and_masks(real_gier_workspace):
+    """GIER index over real sess-3 rows: data-mode intersection filtering,
+    request tokenization against the real vocab, and local-op mask
+    loading through the staged RLE files (reference GIER.py:76-103,
+    125-189, 288-307)."""
+    out, counts = real_gier_workspace
+    from t2onet_tpu.data.gier import GIER
+
+    g = GIER(os.path.join(out, "GIER"), os.path.join(out, "language"),
+             "train", data_mode="global", is_load_mask=True,
+             train_img_size=32)
+    assert 0 < len(g) <= counts["train"]
+    assert len(g.vocab2id) == 2279
+    # every kept row passed the global filter: the id list must admit it
+    with open(os.path.join(out, "GIER", "splits",
+                           "train_global_sess_3.json")) as f:
+        ok_ids = set(json.load(f))
+    with open(os.path.join(out, "GIER", "splits",
+                           "train_sess_3.json")) as f:
+        rows = json.load(f)
+    kept = [i for i in range(len(rows)) if i in ok_ids]
+    assert len(g) == len(kept)
+
+    # find a request whose pair carries a local op in the 8-op vocab
+    hit = None
+    for rid, pid in g.ReqId2PairId.items():
+        _, _, md = g.get_op_info(pid)
+        if md:
+            hit = rid
+            break
+    if hit is not None:
+        item = g.get_req_item(hit)
+        k, m = next(iter(item["mask_dict"].items()))
+        assert m.shape == (32, 32) and 0 < m.mean() < 1
+        assert set(np.unique(m)) <= {0.0, 1.0}
+
+
+def test_real_gier_mode_intersection_and_batches(real_gier_workspace):
+    """'global+valid' intersects the two id lists (GIER.py:76-103); the
+    request-level dataset yields fixed-shape batches with real tokens."""
+    out, _ = real_gier_workspace
+    from t2onet_tpu.data.gier import GIER, GIERDataset
+
+    base = GIER(os.path.join(out, "GIER"), os.path.join(out, "language"),
+                "train", data_mode="global", train_img_size=32)
+    both = GIER(os.path.join(out, "GIER"), os.path.join(out, "language"),
+                "train", data_mode="global+valid", train_img_size=32)
+    assert len(both) <= len(base)
+
+    ds = GIERDataset(os.path.join(out, "GIER"),
+                     os.path.join(out, "language"), "train",
+                     data_mode="global", train_img_size=32)
+    b = next(ds.batches(2, 1, shuffle=False))
+    assert b["img_x"].shape == (2, 3, 32, 32)
+    assert b["x"].shape == (2, 17)
+    # rows start with <START>=1 and contain real (>3) vocab ids
+    assert (b["x"][:, 0] == 1).all() and (b["x"] > 3).any()
+    # synthesized edit is a real shift, not a copy
+    assert np.abs(b["img_x"] - b["img_y"][:, -1]).mean() > 0.01
