@@ -173,13 +173,21 @@ class SyntheticFiveK:
         self._cache[idx] = item
         return item
 
-    def batches(self, batch_size: int, steps: int, shuffle: bool = True):
-        """Yield `steps` collated numpy batches."""
-        from t2onet_tpu.data.iteration import epoch_index_batches
+    def batches(self, batch_size: int, steps: int, shuffle: bool = True,
+                sequential: bool = False):
+        """Yield `steps` collated numpy batches. sequential=True covers
+        every item exactly once in order (short tail batch; steps/shuffle
+        ignored) — the exhaustive-eval mode, same contract as
+        FiveK.batches(sequential=True)."""
+        from t2onet_tpu.data.iteration import (epoch_index_batches,
+                                               sequential_index_batches)
 
-        order_rng = np.random.default_rng(self.seed + 999)
-        for sel in epoch_index_batches(self.n, batch_size, steps, shuffle,
-                                       order_rng):
+        if sequential:
+            sels = sequential_index_batches(self.n, batch_size)
+        else:
+            sels = epoch_index_batches(self.n, batch_size, steps, shuffle,
+                                       np.random.default_rng(self.seed + 999))
+        for sel in sels:
             items = [self.make_item(int(j)) for j in sel]
             yield {
                 "img_x": np.stack([it[0] for it in items]),
