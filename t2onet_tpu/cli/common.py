@@ -53,7 +53,11 @@ def add_base_args(p: argparse.ArgumentParser):
     p.add_argument("--bidirectional", type=int, default=1)
     p.add_argument("--n_layers", type=int, default=2)
     p.add_argument("--operator_fc_dim", type=int, default=512)
-    p.add_argument("--fix_input_embedding", type=int, default=0)
+    p.add_argument("--fix_input_embedding", type=int, default=1,
+                   help="freeze GloVe word rows, train only the 4 special "
+                        "rows (reference default, seq2seqGAN_train_options"
+                        ".py:39; auto-downgraded to 0 when no GloVe "
+                        "embedding is loaded)")
     p.add_argument("--discrete_param", type=int, default=0,
                    help="classify op params over discrete_step bins "
                         "(reference fiveK_base_options discrete_param)")
@@ -232,6 +236,17 @@ def build_actor(a, vocab_size: int, word2vec=None):
     from t2onet_tpu.models.actor import Actor
 
     cfg = args_to_config(a)
+    if cfg.model.fix_input_embedding and word2vec is None:
+        # freezing random-init word rows would make the encoder
+        # untrainable; the reference only ever freezes real GloVe rows
+        import dataclasses
+        import warnings
+
+        warnings.warn("--fix_input_embedding 1 without a GloVe embedding: "
+                      "downgrading to 0 (nothing pretrained to freeze)")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           fix_input_embedding=False))
     return Actor(cfg=cfg.model, opcfg=cfg.operators, vocab_size=vocab_size,
                  word2vec=None if word2vec is None else np.asarray(word2vec),
                  explore_prob=getattr(a, "explore_prob", 0.05)), cfg

@@ -174,11 +174,13 @@ class SyntheticFiveK:
         return item
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
-                sequential: bool = False):
+                seed: int = 0, sequential: bool = False):
         """Yield `steps` collated numpy batches. sequential=True covers
         every item exactly once in order (short tail batch; steps/shuffle
         ignored) — the exhaustive-eval mode, same contract as
-        FiveK.batches(sequential=True)."""
+        FiveK.batches(sequential=True). `seed` matches the FiveK/GIER
+        batches() signature so dataset-agnostic callers can pass it; it
+        offsets the epoch-shuffle rng alongside the dataset seed."""
         from t2onet_tpu.data.iteration import (epoch_index_batches,
                                                sequential_index_batches)
 
@@ -186,7 +188,8 @@ class SyntheticFiveK:
             sels = sequential_index_batches(self.n, batch_size)
         else:
             sels = epoch_index_batches(self.n, batch_size, steps, shuffle,
-                                       np.random.default_rng(self.seed + 999))
+                                       np.random.default_rng(
+                                           self.seed + 999 + seed))
         for sel in sels:
             items = [self.make_item(int(j)) for j in sel]
             yield {

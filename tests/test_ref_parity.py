@@ -36,3 +36,32 @@ def test_episode_parity_vs_reference():
                          verbose=False, platform=None)  # conftest pins cpu
     assert metrics["ops_match"]
     assert metrics["img_l1_max"] <= 1e-3
+
+
+def test_supervised_loss_and_grad_parity_vs_reference():
+    """The reference trainer's supervised iteration whole-vs-whole: same
+    converted weights, same batch, train-mode BN — op NLL and param
+    MSE/nnz must match to 1e-4 and the full gradient trees must align
+    (reference experiments/t2onet/train_seq2seqL1.py:51-61)."""
+    from scripts.parity_harness import run_supervised_parity
+
+    m = run_supervised_parity(ref_dir=REF, batch=4, img_size=32,
+                              tol=1e-4, grad_cos_min=0.999,
+                              verbose=False, platform=None)
+    assert m["op_loss_delta"] <= 1e-4
+    assert m["param_loss_delta"] <= 1e-4
+    assert m["grad_cos_min"] >= 0.999
+
+
+def test_planner_head_to_head_vs_nelder_mead():
+    """Our on-device multi-start-Adam planner must match the reference's
+    scipy Nelder-Mead beam search in solution quality on identical pairs
+    (reference utils/beam_search.py:65-91, 196-264) — the SURVEY §7
+    'hard part'. Tiny images + few pairs keep the reference side fast;
+    the full 32-pair/64px run is scripts/planner_headtohead.py
+    (measured numbers in docs/PARITY.md)."""
+    from scripts.planner_headtohead import run_headtohead
+
+    m = run_headtohead(ref_dir=REF, pairs=3, img_size=32, n_iters=80,
+                       tol=5e-3, platform=None, verbose=False)
+    assert m["our_dist_mean"] <= m["ref_dist_mean"] + 1e-3
