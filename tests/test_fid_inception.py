@@ -153,3 +153,264 @@ def test_variants_differ_only_in_mixed7c_pool():
     o_avg = InceptionE(pool_mode="avg_tv").apply(
         variables, jax.numpy.asarray(x.transpose(0, 2, 3, 1)))
     assert float(np.abs(np.asarray(o_max) - np.asarray(o_avg)).max()) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# stem + B/C/D block oracles and the FULL-graph protocol test (VERDICT r2
+# item 3): every conversion mapping and block wiring exercised end to end.
+# ---------------------------------------------------------------------------
+
+from t2onet_tpu.evals.inception import (  # noqa: E402
+    InceptionB, InceptionC, InceptionD, make_features_fn)
+
+# (key, cin, cout, kh, kw) per module; pad/stride live in the forward fns
+_STEM = [("Conv2d_1a_3x3", 3, 32, 3, 3), ("Conv2d_2a_3x3", 32, 32, 3, 3),
+         ("Conv2d_2b_3x3", 32, 64, 3, 3), ("Conv2d_3b_1x1", 64, 80, 1, 1),
+         ("Conv2d_4a_3x3", 80, 192, 3, 3)]
+
+
+def _a_convs(p, cin, pf):
+    return [(f"{p}.branch1x1", cin, 64, 1, 1),
+            (f"{p}.branch5x5_1", cin, 48, 1, 1),
+            (f"{p}.branch5x5_2", 48, 64, 5, 5),
+            (f"{p}.branch3x3dbl_1", cin, 64, 1, 1),
+            (f"{p}.branch3x3dbl_2", 64, 96, 3, 3),
+            (f"{p}.branch3x3dbl_3", 96, 96, 3, 3),
+            (f"{p}.branch_pool", cin, pf, 1, 1)]
+
+
+def _b_convs(p, cin):
+    return [(f"{p}.branch3x3", cin, 384, 3, 3),
+            (f"{p}.branch3x3dbl_1", cin, 64, 1, 1),
+            (f"{p}.branch3x3dbl_2", 64, 96, 3, 3),
+            (f"{p}.branch3x3dbl_3", 96, 96, 3, 3)]
+
+
+def _c_convs(p, cin, c7):
+    return [(f"{p}.branch1x1", cin, 192, 1, 1),
+            (f"{p}.branch7x7_1", cin, c7, 1, 1),
+            (f"{p}.branch7x7_2", c7, c7, 1, 7),
+            (f"{p}.branch7x7_3", c7, 192, 7, 1),
+            (f"{p}.branch7x7dbl_1", cin, c7, 1, 1),
+            (f"{p}.branch7x7dbl_2", c7, c7, 7, 1),
+            (f"{p}.branch7x7dbl_3", c7, c7, 1, 7),
+            (f"{p}.branch7x7dbl_4", c7, c7, 7, 1),
+            (f"{p}.branch7x7dbl_5", c7, 192, 1, 7),
+            (f"{p}.branch_pool", cin, 192, 1, 1)]
+
+
+def _d_convs(p, cin):
+    return [(f"{p}.branch3x3_1", cin, 192, 1, 1),
+            (f"{p}.branch3x3_2", 192, 320, 3, 3),
+            (f"{p}.branch7x7x3_1", cin, 192, 1, 1),
+            (f"{p}.branch7x7x3_2", 192, 192, 1, 7),
+            (f"{p}.branch7x7x3_3", 192, 192, 7, 1),
+            (f"{p}.branch7x7x3_4", 192, 192, 3, 3)]
+
+
+def _e_convs(p, cin):
+    return [(f"{p}.branch1x1", cin, 320, 1, 1),
+            (f"{p}.branch3x3_1", cin, 384, 1, 1),
+            (f"{p}.branch3x3_2a", 384, 384, 1, 3),
+            (f"{p}.branch3x3_2b", 384, 384, 3, 1),
+            (f"{p}.branch3x3dbl_1", cin, 448, 1, 1),
+            (f"{p}.branch3x3dbl_2", 448, 384, 3, 3),
+            (f"{p}.branch3x3dbl_3a", 384, 384, 1, 3),
+            (f"{p}.branch3x3dbl_3b", 384, 384, 3, 1),
+            (f"{p}.branch_pool", cin, 192, 1, 1)]
+
+
+def _fill(rng, sd, convs):
+    for key, cin, cout, kh, kw in convs:
+        _mk_conv(rng, key, cin, cout, kh, kw, sd)
+        # fan-in scaling (vs _mk_conv's fixed 0.1): keeps activations O(1)
+        # through the 94-conv full graph, so the f32 comparison measures
+        # implementation parity rather than compounding blow-up noise
+        sd[f"{key}.conv.weight"] *= 10.0 / np.sqrt(cin * kh * kw)
+
+
+def _torch_a(sd, p, x, avg):
+    b1 = _apply_conv(sd, f"{p}.branch1x1", x)
+    b5 = _apply_conv(sd, f"{p}.branch5x5_2",
+                     _apply_conv(sd, f"{p}.branch5x5_1", x), padding=2)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_1", x)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_2", bd, padding=1)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_3", bd, padding=1)
+    bp = _apply_conv(sd, f"{p}.branch_pool", avg(x))
+    return torch.cat([b1, b5, bd, bp], 1)
+
+
+def _torch_b(sd, p, x):
+    b3 = _apply_conv(sd, f"{p}.branch3x3", x, stride=2)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_1", x)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_2", bd, padding=1)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_3", bd, stride=2)
+    return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+
+def _torch_c(sd, p, x, avg):
+    b1 = _apply_conv(sd, f"{p}.branch1x1", x)
+    b7 = _apply_conv(sd, f"{p}.branch7x7_1", x)
+    b7 = _apply_conv(sd, f"{p}.branch7x7_2", b7, padding=(0, 3))
+    b7 = _apply_conv(sd, f"{p}.branch7x7_3", b7, padding=(3, 0))
+    bd = _apply_conv(sd, f"{p}.branch7x7dbl_1", x)
+    bd = _apply_conv(sd, f"{p}.branch7x7dbl_2", bd, padding=(3, 0))
+    bd = _apply_conv(sd, f"{p}.branch7x7dbl_3", bd, padding=(0, 3))
+    bd = _apply_conv(sd, f"{p}.branch7x7dbl_4", bd, padding=(3, 0))
+    bd = _apply_conv(sd, f"{p}.branch7x7dbl_5", bd, padding=(0, 3))
+    bp = _apply_conv(sd, f"{p}.branch_pool", avg(x))
+    return torch.cat([b1, b7, bd, bp], 1)
+
+
+def _torch_d(sd, p, x):
+    b3 = _apply_conv(sd, f"{p}.branch3x3_1", x)
+    b3 = _apply_conv(sd, f"{p}.branch3x3_2", b3, stride=2)
+    b7 = _apply_conv(sd, f"{p}.branch7x7x3_1", x)
+    b7 = _apply_conv(sd, f"{p}.branch7x7x3_2", b7, padding=(0, 3))
+    b7 = _apply_conv(sd, f"{p}.branch7x7x3_3", b7, padding=(3, 0))
+    b7 = _apply_conv(sd, f"{p}.branch7x7x3_4", b7, stride=2)
+    return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+def _torch_e_p(sd, p, x, pool):
+    b1 = _apply_conv(sd, f"{p}.branch1x1", x)
+    b3 = _apply_conv(sd, f"{p}.branch3x3_1", x)
+    b3 = torch.cat([
+        _apply_conv(sd, f"{p}.branch3x3_2a", b3, padding=(0, 1)),
+        _apply_conv(sd, f"{p}.branch3x3_2b", b3, padding=(1, 0))], 1)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_1", x)
+    bd = _apply_conv(sd, f"{p}.branch3x3dbl_2", bd, padding=1)
+    bd = torch.cat([
+        _apply_conv(sd, f"{p}.branch3x3dbl_3a", bd, padding=(0, 1)),
+        _apply_conv(sd, f"{p}.branch3x3dbl_3b", bd, padding=(1, 0))], 1)
+    bp = _apply_conv(sd, f"{p}.branch_pool", pool(x))
+    return torch.cat([b1, b3, bd, bp], 1)
+
+
+_AVG_TF = lambda t: F.avg_pool2d(t, 3, 1, 1, count_include_pad=False)  # noqa: E731
+_AVG_TV = lambda t: F.avg_pool2d(t, 3, 1, 1)  # noqa: E731
+
+
+def test_fid_inception_b_matches_torch_oracle():
+    """InceptionB / Mixed_6a: the grid-reduction block pytorch-fid does
+    NOT patch (reference inception.py:166-190 reuses torchvision's)."""
+    rng = np.random.default_rng(3)
+    sd = {}
+    _fill(rng, sd, _b_convs("M", 96))
+    x = rng.standard_normal((2, 96, 17, 17)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_b(sd, "M", torch.from_numpy(x)).numpy()
+    variables = convert_torchvision_inception(_strip_prefix(sd, "M."))
+    out = InceptionB().apply(variables,
+                             jax.numpy.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("pool_mode", ["avg_tf", "avg_tv"])
+def test_fid_inception_c_matches_torch_oracle(pool_mode):
+    """InceptionC / Mixed_6b-e: FIDInceptionC patches the branch pool to
+    count_include_pad=False (reference inception.py:218-245)."""
+    rng = np.random.default_rng(4)
+    sd = {}
+    _fill(rng, sd, _c_convs("M", 96, 32))
+    x = rng.standard_normal((2, 96, 9, 9)).astype(np.float32)
+    avg = _AVG_TF if pool_mode == "avg_tf" else _AVG_TV
+    with torch.no_grad():
+        ref = _torch_c(sd, "M", torch.from_numpy(x), avg).numpy()
+    variables = convert_torchvision_inception(_strip_prefix(sd, "M."))
+    out = InceptionC(32, pool_mode=pool_mode).apply(
+        variables, jax.numpy.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4)
+
+
+def test_fid_inception_d_matches_torch_oracle():
+    """InceptionD / Mixed_7a: the second unpatched grid-reduction block."""
+    rng = np.random.default_rng(5)
+    sd = {}
+    _fill(rng, sd, _d_convs("M", 96))
+    x = rng.standard_normal((2, 96, 9, 9)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_d(sd, "M", torch.from_numpy(x)).numpy()
+    variables = convert_torchvision_inception(_strip_prefix(sd, "M."))
+    out = InceptionD().apply(variables,
+                             jax.numpy.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4)
+
+
+def _make_full_sd(rng):
+    """Random full torchvision-inception_v3 state_dict (every conv/bn the
+    converter must map — ~240 tensors), plus fc/AuxLogits entries that it
+    must IGNORE."""
+    sd = {}
+    _fill(rng, sd, _STEM)
+    for p, cin, pf in [("Mixed_5b", 192, 32), ("Mixed_5c", 256, 64),
+                       ("Mixed_5d", 288, 64)]:
+        _fill(rng, sd, _a_convs(p, cin, pf))
+    _fill(rng, sd, _b_convs("Mixed_6a", 288))
+    for p, c7 in [("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160),
+                  ("Mixed_6e", 192)]:
+        _fill(rng, sd, _c_convs(p, 768, c7))
+    _fill(rng, sd, _d_convs("Mixed_7a", 768))
+    _fill(rng, sd, _e_convs("Mixed_7b", 1280))
+    _fill(rng, sd, _e_convs("Mixed_7c", 2048))
+    sd["fc.weight"] = torch.zeros(1008, 2048)
+    sd["fc.bias"] = torch.zeros(1008)
+    _mk_conv(rng, "AuxLogits.conv0", 768, 128, 1, 1, sd)
+    return sd
+
+
+def _torch_inception_pool3(sd, x01, fid_variant):
+    """The reference FID feature protocol end to end in plain torch:
+    bilinear resize to 299 (align_corners=False — pytorch-fid
+    fid_score.py:141/inception.py:124-129), scale to [-1,1], full
+    inception graph, global average pool -> (N, 2048)."""
+    avg = _AVG_TF if fid_variant else _AVG_TV
+    e2 = (lambda t: F.max_pool2d(t, 3, 1, 1)) if fid_variant else _AVG_TV
+    with torch.no_grad():
+        x = F.interpolate(x01, size=(299, 299), mode="bilinear",
+                          align_corners=False)
+        x = 2.0 * x - 1.0
+        x = _apply_conv(sd, "Conv2d_1a_3x3", x, stride=2)
+        x = _apply_conv(sd, "Conv2d_2a_3x3", x)
+        x = _apply_conv(sd, "Conv2d_2b_3x3", x, padding=1)
+        x = F.max_pool2d(x, 3, 2)
+        x = _apply_conv(sd, "Conv2d_3b_1x1", x)
+        x = _apply_conv(sd, "Conv2d_4a_3x3", x)
+        x = F.max_pool2d(x, 3, 2)
+        x = _torch_a(sd, "Mixed_5b", x, avg)
+        x = _torch_a(sd, "Mixed_5c", x, avg)
+        x = _torch_a(sd, "Mixed_5d", x, avg)
+        x = _torch_b(sd, "Mixed_6a", x)
+        x = _torch_c(sd, "Mixed_6b", x, avg)
+        x = _torch_c(sd, "Mixed_6c", x, avg)
+        x = _torch_c(sd, "Mixed_6d", x, avg)
+        x = _torch_c(sd, "Mixed_6e", x, avg)
+        x = _torch_d(sd, "Mixed_7a", x)
+        x = _torch_e_p(sd, "Mixed_7b", x, avg)
+        x = _torch_e_p(sd, "Mixed_7c", x, e2)
+        return x.mean(dim=(2, 3)).numpy()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fid_variant", [True, False])
+def test_full_inception_graph_matches_torch_oracle(fid_variant):
+    """Whole-graph oracle (VERDICT r2 item 3): random FULL state_dict ->
+    convert_torchvision_inception -> make_features_fn (the exact
+    ImageEvaluator entry: bilinear-299 resize + [-1,1] normalize,
+    reference utils/FID/fid_score.py:138-156) vs a plain-torch
+    re-execution of the whole graph — both fid_variant settings. Any
+    wrong mapping among the ~240 converted tensors, any block mis-wiring,
+    and any resize/normalize protocol drift fails this."""
+    rng = np.random.default_rng(6)
+    sd = _make_full_sd(rng)
+    x01 = rng.uniform(0.0, 1.0, (2, 3, 64, 64)).astype(np.float32)
+    ref = _torch_inception_pool3(sd, torch.from_numpy(x01), fid_variant)
+    variables = convert_torchvision_inception(sd)
+    feats = make_features_fn(variables, resize=True, normalize=True,
+                             fid_variant=fid_variant)
+    out = np.asarray(feats(jax.numpy.asarray(x01)))
+    assert out.shape == (2, 2048)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
