@@ -93,6 +93,10 @@ def run_bench(engine, n: int, size: int):
     dt = time.time() - t0
     assert all(r is not None for r in results)
     st = engine.stats_snapshot()
+    # end-to-end req/s through a tunnel-attached chip is weather-bound
+    # (host<->device pixel transfer); the device-only decomposition below
+    # is the stable, reproducible part of the cost
+    probe = engine.device_compute_probe(size=size)
     print(json.dumps({
         "metric": f"{size}px serving requests/sec/chip",
         "value": round(n / dt, 2),
@@ -103,6 +107,7 @@ def run_bench(engine, n: int, size: int):
             "sync_s": round(st["sync_s"], 3),
             "mean_program_len": float(np.mean(
                 [len(r.ops) for r in results])),
+            "device_compute": probe,
         },
     }))
 

@@ -350,6 +350,44 @@ class ServingEngine:
             img = np.full((3, h, w), 0.5, np.float32)
             self.edit_batch([img], ["increase the brightness"])
 
+    def device_compute_probe(self, size: int = 512, iters: int = 10,
+                             request: str = "increase the brightness"):
+        """Pin the REPRODUCIBLE part of serving cost: decode + execute
+        ms/request with inputs already device-resident and only a
+        one-element readback. End-to-end req/s through a tunnel-attached
+        chip varies with tunnel weather (the host<->device pixel
+        transfer); this number does not — it is the pure device compute
+        a co-located deployment would see. Call warmup() first so the
+        timing is compile-free."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.stack([self._tokenize(request)]
+                                 * self.max_batch))
+        native = np.full((self.max_batch, 3, size, size), 0.5, np.float32)
+        if self.u8_wire:
+            native = np.round(native * 255.0).astype(np.uint8)
+        native = jnp.asarray(native)
+        ps = size if self.decode_native else self.decode_size
+        dec = jnp.asarray(np.full((self.max_batch, 3, ps, ps), 0.5,
+                                  np.float32))
+
+        def once():
+            ops, params = self._decode_jit(self.variables, x, dec)
+            return self._execute_jit(native, program_slots(ops), params)
+
+        _ = np.asarray(once()[0, 0, 0, :1])          # warm/compile
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = once()
+            _ = np.asarray(out[0, 0, 0, :1])         # readback barrier
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return {"device_ms_per_batch": round(best * 1e3, 2),
+                "device_ms_per_req": round(best * 1e3 / self.max_batch, 3),
+                "probe_batch": self.max_batch, "img": f"{size}px"}
+
 
 class MicroBatcher:
     """Background thread that drains a ServingEngine queue: fires when

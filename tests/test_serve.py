@@ -195,3 +195,14 @@ def test_flush_failure_marks_pending_not_kills_caller(_parts):
     assert eng.flush() == 1                           # does not raise
     assert p.done.is_set() and isinstance(p.error, RuntimeError)
     assert p.result is None
+
+
+def test_device_compute_probe_reports_stable_decomposition(engine):
+    """The --bench device-side decomposition (VERDICT r2 weak 8): probe
+    must run compile-free on warmed graphs and report per-request device
+    ms independent of host transfer."""
+    engine.warmup(buckets=[(32, 32)])
+    m = engine.device_compute_probe(size=32, iters=2)
+    assert m["probe_batch"] == engine.max_batch
+    assert m["device_ms_per_batch"] > 0
+    assert m["device_ms_per_req"] <= m["device_ms_per_batch"]
