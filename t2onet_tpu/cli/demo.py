@@ -25,6 +25,47 @@ from t2onet_tpu.train.checkpoint import CheckpointManager
 from t2onet_tpu.train.loop import create_train_state, make_eval_episode
 
 
+def _run_program(a, img, out_dir):
+    """--program mode: apply an explicit executor-op sequence (the demo
+    counterpart of replaying a planner JSON), with optional --mask local
+    editing and a trained --inpaint_ckpt filler for inpaint steps."""
+    from t2onet_tpu.ops.operators import OP_NAMES, apply_op_by_index
+
+    program = json.loads(a.program)
+    mask = inpaint_fn = None
+    if a.mask:
+        from PIL import Image
+
+        m = np.asarray(Image.open(a.mask).convert("L"), np.float32) / 255.0
+        if m.shape != img.shape[2:]:
+            raise SystemExit(f"--mask shape {m.shape} != image "
+                             f"{img.shape[2:]}")
+        mask = jnp.asarray((m > 0.5).astype(np.float32)[None, None])
+    if a.inpaint_ckpt:
+        if mask is None:
+            raise SystemExit("--inpaint_ckpt needs --mask (the hole)")
+        from t2onet_tpu.models.inpaint import load_inpaint, make_inpaint_fn
+
+        inpaint_fn = make_inpaint_fn(*load_inpaint(a.inpaint_ckpt), mask)
+
+    save_img(img[0], os.path.join(out_dir, "input.jpg"))
+    cur, steps = jnp.asarray(img), []
+    for i, (name, params) in enumerate(program):
+        op = OP_NAMES.index(name)              # raises on unknown op
+        p_arr = jnp.zeros((1, max(ACT2PN[name], 1)), jnp.float32)
+        if params:
+            p_arr = jnp.asarray(np.asarray(params, np.float32)[None])
+        cur = apply_op_by_index(cur, op, p_arr, mask=mask,
+                                inpaint_fn=inpaint_fn)
+        save_img(np.asarray(cur)[0], os.path.join(out_dir, f"step{i}.jpg"))
+        steps.append({"op": name, "params": list(map(float, params or []))})
+    save_img(np.asarray(cur)[0], os.path.join(out_dir, "output.jpg"))
+    with open(os.path.join(out_dir, "program.json"), "w") as f:
+        json.dump({"program": steps, "mask": a.mask,
+                   "inpaint_ckpt": a.inpaint_ckpt}, f, indent=2)
+    print(f"executed {len(steps)}-step program -> {out_dir}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     common.add_base_args(p)
@@ -36,6 +77,18 @@ def main(argv=None):
                    help="checkpoint subdir (default: auto-discover "
                         "seq2seqL1_model / seq2seqGAN_model / "
                         "seq2seqRL_model in the run dir)")
+    p.add_argument("--program", default=None,
+                   help="execute an explicit op program instead of "
+                        "decoding one from --request: a JSON list of "
+                        "[op_name, [params...]] pairs (executor names, "
+                        "ops/operators.py OP_NAMES). No model needed")
+    p.add_argument("--mask", default=None,
+                   help="grayscale mask image for --program: nonzero = "
+                        "edit region (local ops / the inpaint hole)")
+    p.add_argument("--inpaint_ckpt", default=None,
+                   help="trained filler (cli.train_inpaint run dir's "
+                        "inpaint_model): --program inpaint steps FILL the "
+                        "--mask region instead of passing through")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a, record=False)
@@ -54,6 +107,9 @@ def main(argv=None):
         y, x = y / (a.img_size - 1), x / (a.img_size - 1)
         img = np.clip(np.stack([0.2 + 0.5 * x, 0.25 + 0.4 * y,
                                 0.3 + 0.3 * (x + y) / 2], 0), 0, 1)[None]
+    if a.program:
+        _run_program(a, img, out_dir)
+        return
     x_idx = txt2idx(a.request, vocab2id, a.encoder_max_len).astype(np.int32)
 
     state = create_train_state(actor, jax.random.PRNGKey(a.manual_seed),

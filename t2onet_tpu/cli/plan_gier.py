@@ -46,6 +46,13 @@ def main(argv=None):
     p.add_argument("--pair_batch", type=int, default=1,
                    help=">1: lockstep-batch pairs (incl. their local-edit "
                         "masks) into one device fit per step")
+    p.add_argument("--inpaint_ckpt", default=None,
+                   help="trained filler checkpoint (cli.train_inpaint run "
+                        "dir's inpaint_model): the inpaint candidate then "
+                        "FILLS its gt mask region instead of executing as "
+                        "identity (reference: external EdgeConnect, "
+                        "models/operators.py:625-682). Single-pair path "
+                        "only (drop --pair_batch)")
     a = p.parse_args(argv)
     a.dataset = "GIER"
     if a.session == 1:
@@ -95,6 +102,15 @@ def main(argv=None):
               max_step=len(ALL_OPS), err=a.err, mode=a.mode,
               n_starts=a.n_starts, n_iters=a.n_iters, lr=a.lr,
               dist_type=a.dist_type)
+    inpaint_net = None
+    if a.inpaint_ckpt:
+        if a.pair_batch > 1:
+            raise SystemExit("--inpaint_ckpt plans pairs one at a time "
+                             "(drop --pair_batch): the filler closure "
+                             "captures each pair's own mask")
+        from t2onet_tpu.models.inpaint import load_inpaint, make_inpaint_fn
+
+        inpaint_net = load_inpaint(a.inpaint_ckpt)
     pair_ids = range(a.start, len(gier))
     if a.limit is not None:
         pair_ids = list(pair_ids)[: a.limit]
@@ -127,11 +143,17 @@ def main(argv=None):
                       f"{(time.time() - t0) / max(n, 1):.2f}s/pair",
                       flush=True)
     else:
+        INPAINT_EXEC = 4                       # vocab inpaint_obj(7) - 3
         for pair_id in pair_ids:
             img_x, img_y, request, op_masks, data_id = load_pair(pair_id)
+            inpaint_fn = None
+            if inpaint_net is not None and INPAINT_EXEC in op_masks:
+                # closure captures THIS pair's gt object mask (1,1,H,W)
+                inpaint_fn = make_inpaint_fn(
+                    *inpaint_net, op_masks[INPAINT_EXEC][None])
             actions, images = beam_search(
                 img_x, img_y, seed=a.manual_seed + pair_id,
-                op_masks=op_masks or None, **kw)
+                op_masks=op_masks or None, inpaint_fn=inpaint_fn, **kw)
             write_item(data_id, request, img_x, img_y, actions, images)
             n += 1
             if n % 5 == 0:

@@ -112,9 +112,36 @@ class FiveK:
         self.eval_img_mode = eval_img_mode
         with open(os.path.join(anno_dir, f"{phase}_sess_{session}.json")) as f:
             self.data = json.load(f)
+        # decoded-item cache: JPEG decode + resize on the host is the
+        # training bottleneck (measured 1.85 s/it vs ~65 ms device time at
+        # bs64/128px on a 1-core host) and fixed-size items are small —
+        # the full 5K dataset decoded at 128px is ~7 GB. Only fixed-shape
+        # items are cached (train / train_size eval); native-res eval
+        # items are variable-size and read once anyway. T2ONET_CACHE_GB
+        # overrides the budget (0 disables).
+        self._cache: dict = {}
+        self._cache_budget = float(
+            os.environ.get("T2ONET_CACHE_GB", "16")) * 1e9
+        self._cache_bytes = 0
 
     def __len__(self):
         return len(self.data)
+
+    def _cache_get(self, item: int):
+        return self._cache.get(item)
+
+    def _cache_put(self, item: int, tup):
+        if self.eval_img_mode != "train_size" and self.phase != "train":
+            return tup
+        size = sum(a.nbytes for a in tup if isinstance(a, np.ndarray))
+        if self._cache_bytes + size > self._cache_budget:
+            return tup
+        for a in tup:
+            if isinstance(a, np.ndarray):
+                a.flags.writeable = False      # shared across epochs
+        self._cache[item] = tup
+        self._cache_bytes += size
+        return tup
 
     def _load(self, name: str) -> np.ndarray:
         path = os.path.join(self.img_dir, name)
@@ -123,9 +150,13 @@ class FiveK:
         return load_infer_img_short_size_bounded(path, 600)
 
     def __getitem__(self, item: int):
+        hit = self._cache_get(item)
+        if hit is not None:
+            return hit
         d = self.data[item]
-        return (self._load(d["input"]), self._load(d["output"]),
-                np.asarray(d["request_idx"], np.int64), d["request"])
+        return self._cache_put(item, (
+            self._load(d["input"]), self._load(d["output"]),
+            np.asarray(d["request_idx"], np.int64), d["request"]))
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0, sequential: bool = False):
@@ -173,13 +204,17 @@ class FiveKAct(FiveK):
         return op_seq, params, imgs
 
     def __getitem__(self, item: int):
+        hit = self._cache_get(item)
+        if hit is not None:
+            return hit
         d = self.data[item]
         input_img = self._load(d["input"])
         output_img = self._load(d["output"])
         ops, params, imgs = self.get_act(item)
         output_imgs = np.concatenate([imgs, output_img[None]], axis=0)
-        return (input_img, output_imgs, np.asarray(d["request_idx"], np.int64),
-                ops, params, d["request"])
+        return self._cache_put(item, (
+            input_img, output_imgs, np.asarray(d["request_idx"], np.int64),
+            ops, params, d["request"]))
 
     def batches(self, batch_size: int, steps: int, shuffle: bool = True,
                 seed: int = 0):

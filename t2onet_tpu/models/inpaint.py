@@ -96,10 +96,15 @@ def compose(pred, img, mask):
 def make_inpaint_fn(net: InpaintNet, variables, mask):
     """Build the ``inpaint_fn(img)`` closure the operator bank expects
     (ops/operators.py:inpaint); the mask is captured, matching the
-    reference operator's externally-set ``self.mask``."""
+    reference operator's externally-set ``self.mask``. The mask
+    broadcasts over the image batch, so one (1, 1, H, W) pair mask
+    serves every beam row in the planner."""
+    import jax.numpy as jnp
 
     def inpaint_fn(img):
-        return compose(net.apply(variables, img, mask), img, mask)
+        m = jnp.broadcast_to(jnp.asarray(mask),
+                             (img.shape[0], 1) + img.shape[2:])
+        return compose(net.apply(variables, img, m), img, m)
 
     return inpaint_fn
 

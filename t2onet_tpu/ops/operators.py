@@ -234,13 +234,18 @@ OP_FNS = {
 }
 
 
-def apply_op_by_index(img, op_index: int, param, mask=None):
+def apply_op_by_index(img, op_index: int, param, mask=None,
+                      inpaint_fn=None):
     """Apply executor-op `op_index` (static int) with masking + clamp.
 
     Negative index is the identity pass-through for special tokens
-    (reference: executors/executor.py:44-46).
+    (reference: executors/executor.py:44-46). ``inpaint_fn`` backs the
+    inpaint slot (reference: an external EdgeConnect model,
+    models/operators.py:625-682); without it the slot is identity.
     """
     if op_index < 0:
         return img
-    fn = OP_FNS[OP_NAMES[op_index]]
-    return mask_blend(fn(img, param), img, mask)
+    name = OP_NAMES[op_index]
+    if name == "inpaint":
+        return mask_blend(inpaint(img, param, inpaint_fn), img, mask)
+    return mask_blend(OP_FNS[name](img, param), img, mask)

@@ -137,6 +137,7 @@ def beam_search(
     dist_type: str = "l1",
     score_fn=None,
     score_aux=None,
+    inpaint_fn=None,
 ) -> Tuple[List[List[Tuple[str, list, float]]], List[List[np.ndarray]]]:
     """Plan an operation sequence for one (input, target) pair.
 
@@ -154,6 +155,14 @@ def beam_search(
         pixel distance — the 'seq2seqGAN-disc' planner mode (reference
         beam_search.py:226-236). Build with gan.make_disc_planner_score;
         aux carries (I_0, cond). I_gt is ignored when set.
+    :param inpaint_fn: trained filler for the inpaint op: (B, 3, H, W) ->
+        (B, 3, H, W), hole-mask semantics captured by the closure (build
+        with models.inpaint.make_inpaint_fn). The inpaint candidate has
+        no continuous parameters, so it is evaluated directly instead of
+        fitted; without it, inpaint executes as identity and plain-mode
+        beam search never selects it (an identity step cannot improve
+        the distance). Reference: an external EdgeConnect checkpoint,
+        models/operators.py:625-682.
     :return: (actions, images) — actions[b] = [(op_name, params, dist), ...]
         per beam; images[b] = per-step edited images (1,3,H,W). Same
         contract as the reference (beam_search.py:262-264).
@@ -169,6 +178,7 @@ def beam_search(
     min_dist = float("inf")
     sequences: List[Tuple[list, float]] = [([], float("inf"))]
     I_buff = I_0.copy()                           # (n_beam, 3, H, W)
+    INPAINT = OP_NAMES.index("inpaint")
 
     for step in range(max_step):
         if mode == "fixed":
@@ -177,10 +187,30 @@ def beam_search(
             step_ops = list(operations)
         if not step_ops:
             break
-        params, dists, outs, cand_ops = _fit_step(
-            I_buff, I_gt, step_ops, n_starts, n_iters, lr,
-            init_key=seed + step, op_masks=op_masks, dist_type=dist_type,
-            score_fn=score_fn, score_aux=score_aux)
+        # the inpaint candidate is parameterless: evaluate it directly
+        # with the trained filler rather than through the Adam fit
+        inp_outs = inp_dists = None
+        if inpaint_fn is not None and INPAINT in step_ops:
+            filled = np.asarray(inpaint_fn(jnp.asarray(I_buff)))
+            if score_fn is not None:
+                inp_dists = np.asarray(
+                    score_fn(jnp.asarray(filled)[:, None],
+                             score_aux))[:, 0]
+            elif dist_type == "l2":
+                inp_dists = ((filled - I_gt) ** 2).mean(axis=(1, 2, 3))
+            else:
+                inp_dists = np.abs(filled - I_gt).mean(axis=(1, 2, 3))
+            inp_outs = filled
+        fit_ops = [op for op in step_ops
+                   if not (op == INPAINT and inp_outs is not None)]
+        if fit_ops:
+            params, dists, outs, cand_ops = _fit_step(
+                I_buff, I_gt, fit_ops, n_starts, n_iters, lr,
+                init_key=seed + step, op_masks=op_masks,
+                dist_type=dist_type, score_fn=score_fn,
+                score_aux=score_aux)
+        else:                                     # inpaint-only search
+            cand_ops = np.empty(0, np.int64)
 
         all_candidates, I_tmp = [], []
         no_update, finish = True, False
@@ -191,17 +221,23 @@ def beam_search(
             for op in step_ops:
                 if op in used:
                     continue
-                cols = np.where(cand_ops == op)[0]
-                best = cols[int(np.argmin(dists[j, cols]))]
-                dist = float(dists[j, best])
-                k = O.PARAM_COUNTS[op]
-                p_list = params[j, best, :k].tolist()
+                if op == INPAINT and inp_outs is not None:
+                    dist = float(inp_dists[j])
+                    p_list = [0.0] * O.PARAM_COUNTS[op]
+                    out_img = inp_outs[j]
+                else:
+                    cols = np.where(cand_ops == op)[0]
+                    best = cols[int(np.argmin(dists[j, cols]))]
+                    dist = float(dists[j, best])
+                    k = O.PARAM_COUNTS[op]
+                    p_list = params[j, best, :k].tolist()
+                    out_img = outs[j, best]
                 accept = (dist < min_dist) if mode == "plain" else True
                 if accept:
                     tmp_min.append(dist)
                     seq = sequences[j][0] + [(OP_NAMES[op], p_list, dist)]
                     all_candidates.append((seq, dist))
-                    I_tmp.append(outs[j, best])
+                    I_tmp.append(out_img)
                     no_update = False
                     if dist < err:
                         finish = True
@@ -221,11 +257,11 @@ def beam_search(
             break
 
     actions = [list(seq) for seq, _ in sequences]
-    images = _replay_images(I_0, actions, op_masks)
+    images = _replay_images(I_0, actions, op_masks, inpaint_fn)
     return actions, images
 
 
-def _replay_images(I_0, actions, op_masks=None):
+def _replay_images(I_0, actions, op_masks=None, inpaint_fn=None):
     """Recompute per-step images for each surviving beam (host->device,
     tiny). The reference keeps them alongside candidates; recomputing the
     <= beam*step survivors costs less than hauling every candidate image."""
@@ -239,7 +275,8 @@ def _replay_images(I_0, actions, op_masks=None):
             mask = None
             if op_masks and op in op_masks:
                 mask = jnp.asarray(op_masks[op])[None]
-            cur = O.apply_op_by_index(cur, op, p, mask=mask)
+            cur = O.apply_op_by_index(cur, op, p, mask=mask,
+                                      inpaint_fn=inpaint_fn)
             imgs.append(np.asarray(cur))
         images.append(imgs)
     return images
