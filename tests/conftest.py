@@ -25,8 +25,31 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_t2onet"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Trace-heavy jax tests allocate millions of short-lived objects; CPython's
+# default (700, 10, 10) GC thresholds make a FULL (gen2) collection every
+# ~70k container allocations, and each full collection scans the whole live
+# heap — which in one long pytest process grows with every compiled
+# executable and cached jaxpr kept alive by fixtures. Mid-suite this
+# measured as tests running 2-3x their isolated wall time (e.g. test_rl
+# 69s in-suite vs 27s alone, identical compile cache). Raising the gen1/2
+# multipliers cuts full collections ~100x; the per-module freeze below
+# moves surviving long-lived objects out of the scanned set entirely.
+gc.set_threshold(700, 100, 100)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _gc_compact_per_module():
+    """After each test module: collect its garbage once, then freeze the
+    survivors (compiled executables, module globals, caches) into the
+    permanent generation so later collections never rescan them."""
+    yield
+    gc.collect()
+    gc.freeze()
 
 
 def pytest_collection_modifyitems(items):
