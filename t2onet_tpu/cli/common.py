@@ -20,10 +20,33 @@ from t2onet_tpu.config import Config, ModelConfig, OperatorConfig, TrainConfig
 def maybe_force_cpu(a):
     """Apply --cpu before any backend client exists (the machine
     sitecustomize pins the TPU backend via JAX_PLATFORMS=axon)."""
-    if getattr(a, "cpu", False):
-        import jax
+    import jax
 
+    if getattr(a, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    enable_compile_cache()
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point.
+
+    The reference pays its CUDA autotune/compile on every process start;
+    here a whole-train-step or planner-fit XLA compile is tens of seconds
+    on TPU (minutes through a degraded tunnel) and is identical across
+    restarts — exactly the case jax's persistent cache exists for. Makes
+    crash-resume (cli/train_supervisor.py), plan_fleet worker fan-out,
+    and repeated demo/serve/eval invocations start in seconds.
+    Override the location with T2ONET_COMPILE_CACHE=<dir>; disable with
+    T2ONET_COMPILE_CACHE=0.
+    """
+    import jax
+
+    loc = os.environ.get("T2ONET_COMPILE_CACHE")
+    if loc == "0":
+        return
+    jax.config.update("jax_compilation_cache_dir",
+                      loc or os.path.expanduser("~/.cache/jax_t2onet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def add_base_args(p: argparse.ArgumentParser):
