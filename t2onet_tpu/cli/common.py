@@ -186,13 +186,19 @@ def build_vocab_only(a):
 
 
 def build_dataset_and_vocab(a, phase: str = "train",
-                            eval_img_mode: str = "native"):
+                            eval_img_mode: str = "native",
+                            wire_u8: bool = False):
     """Returns (dataset, vocab2id, id2op_vocab, word2vec or None).
 
     eval_img_mode (val/test phases only): 'native' keeps the reference's
     short-side-600 variable-shape images (batch_size must be 1 — shapes
     differ per sample); 'train_size' loads square train-resolution images
-    so in-training validation can batch under one compiled shape."""
+    so in-training validation can batch under one compiled shape.
+
+    wire_u8=True (FiveK file-backed datasets only): emit images as uint8
+    CHW so the host cache and H2D wire carry 1/4 the bytes; consumers
+    must normalize on device (data/loader.device_put_batch does). Within
+    1 ulp of the float path — see data/fivek.load_train_img."""
     if a.synthetic:
         from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
 
@@ -234,14 +240,18 @@ def build_dataset_and_vocab(a, phase: str = "train",
         img_dir = os.path.join(a.data_dir, "FiveK", "images")
         anno_dir = os.path.join(a.data_dir, "FiveK", "annotations")
         act_dir = a.act_dir or f"output/actions_set_{a.action_id}"
+        import numpy as np
+
+        wd = np.uint8 if wire_u8 else np.float32
         if phase == "train":
             # planner actions exist for the train split only (reference:
             # val/test use the plain pair dataset, train_seq2seqL1.py:154-157)
             ds = FiveKAct(img_dir, anno_dir, act_dir, phase, a.session,
-                          a.img_size, op_max_len=a.decoder_max_len)
+                          a.img_size, op_max_len=a.decoder_max_len,
+                          wire_dtype=wd)
         else:
             ds = FiveK(img_dir, anno_dir, phase, a.session, a.img_size,
-                       eval_img_mode=eval_img_mode)
+                       eval_img_mode=eval_img_mode, wire_dtype=wd)
     glove_path = os.path.join(
         vocab_dir, f"{a.dataset}_vocabs_glove_feat_{a.session}.h5")
     w2v = load_embedding(glove_path) if os.path.exists(glove_path) else None

@@ -60,6 +60,13 @@ def main(argv=None):
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler device trace of N steps "
                         "(after warmup) into {run_dir}/profile")
+    p.add_argument("--wire_u8", type=int, default=1, choices=(0, 1),
+                   help="ship train images host->device as uint8 and "
+                        "normalize on device (within 1 ulp of the float32 "
+                        "path — the JPEGs are 8-bit and resize runs on "
+                        "uint8 either way; 4x less wire traffic, the "
+                        "bottleneck through the single-chip tunnel). "
+                        "FiveK file datasets only")
     p.add_argument("--pallas_exec", type=int, default=-1, choices=(-1, 0, 1),
                    help="episode phase executes ops via the fused Pallas "
                         "step kernel (custom VJP, selected branch only — "
@@ -71,14 +78,18 @@ def main(argv=None):
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
 
-    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
+    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(
+        a, "train", wire_u8=bool(a.wire_u8))
     val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val", eval_img_mode="train_size")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
 
+    from t2onet_tpu.data.loader import Prefetcher, device_put_batch
+
     sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))
+    init_b = device_put_batch({"x": sample["x"], "img_x": sample["img_x"]})
     state = create_train_state(
         actor, jax.random.PRNGKey(a.manual_seed),
-        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]),
+        init_b["x"], init_b["img_x"],
         learning_rate=a.learning_rate)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"model: {n_params / 1e6:.2f}M params")
@@ -123,23 +134,34 @@ def main(argv=None):
                                  pallas_exec=pallas_exec)
     eval_fn = make_eval_episode(actor)
 
-    from t2onet_tpu.data.loader import Prefetcher, device_put_batch
     from t2onet_tpu.parallel.mesh import batch_sharding
 
     sh = batch_sharding(mesh) if mesh is not None else None
 
+    import itertools
+
+    stage_itr = itertools.count(start_itr)
+
     def stage(b):
-        # 'req' is host-side text; 'step_masks' is the per-step (B,T-2,1,
-        # H,W) raw mask tensor — the episode step consumes the per-vocab
-        # 'masks_vocab' form instead, so shipping step_masks would be
-        # ~33 MB/it of dead host->device traffic at bs64/128px. And when
-        # the episode phase never consumes masks (--fs_only, or masks
-        # disabled), masks_vocab (B,n_vocab,1,H,W) is dead weight too.
-        drop = ("req", "step_masks")
-        if a.fs_only or not use_masks:
-            drop += ("masks_vocab",)
-        return device_put_batch(
-            {k: v for k, v in b.items() if k not in drop}, sh)
+        # Phase-aware transfer: the prefetch thread knows each batch's
+        # iteration parity (consumption order == production order), so it
+        # ships only what that phase consumes. The episode phase needs
+        # just img_x + the FINAL teacher image — shipping the whole
+        # (B,T,3,H,W) img_y stack to slice [:, -1] on device wasted ~75
+        # MB/it of tunnel bandwidth at bs64/128px, the measured training
+        # bottleneck. ('req' is host-side text; 'step_masks' is the raw
+        # per-step mask tensor the episode step never consumes — it takes
+        # the per-vocab 'masks_vocab' form.)
+        sup = a.fs_only or next(stage_itr) % 2 == 1
+        if sup:
+            keep = {k: b[k] for k in ("x", "y", "img_x", "img_y",
+                                      "gt_params")}
+        else:
+            keep = {"x": b["x"], "img_x": b["img_x"],
+                    "gt_img": b["img_y"][:, -1]}
+            if use_masks:
+                keep["masks_vocab"] = b["masks_vocab"]
+        return sup, device_put_batch(keep, sh)
 
     rng = jax.random.PRNGKey(a.manual_seed + 1)
     if start_itr > 1:   # resumed: don't replay the pre-crash episode noise
@@ -159,22 +181,17 @@ def main(argv=None):
     prof_stop = prof_start + a.profile_steps - 1
     prof_open = False
     try:
-        for itr, jb in enumerate(it, start=start_itr):
+        for itr, (sup, jb) in enumerate(it, start=start_itr):
             if itr == prof_start:
                 import jax.profiler as _prof
 
                 _prof.start_trace(os.path.join(run_dir, "profile"))
                 prof_open = True
-            if a.fs_only or itr % 2 == 1:       # supervised phase
-                keys = ("x", "y", "img_x", "img_y", "gt_params")
-                state, m = sup_step(state, {k: jb[k] for k in keys})
+            if sup:                             # supervised phase
+                state, m = sup_step(state, jb)
             else:                  # episode L1 phase
                 rng, sub = jax.random.split(rng)
-                eb = {"x": jb["x"], "img_x": jb["img_x"],
-                      "gt_img": jb["img_y"][:, -1]}
-                if use_masks:
-                    eb["masks_vocab"] = jb["masks_vocab"]
-                state, m = epi_step(state, eb, sub)
+                state, m = epi_step(state, jb, sub)
             for k, v in m.items():
                 if k in sums:
                     sums[k] = sums[k] + v

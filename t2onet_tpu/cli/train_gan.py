@@ -20,6 +20,7 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from t2onet_tpu.cli import common
@@ -110,13 +111,18 @@ def last_valid_teacher(img_y):
     """Last non-black intermediate planner edit per sample — the AdaptGAN
     pseudo-real (reference seq2seqAdaptGAN.py:85-111). FiveKAct zero-pads
     the teacher images past the trajectory truncation point, so a fixed
-    slot like img_y[:, -2] would feed black frames to D_real."""
+    slot like img_y[:, -2] would feed black frames to D_real.
+
+    Host-side numpy (runs on the prefetch thread): selecting the one
+    pseudo-real frame BEFORE transfer avoids shipping the whole teacher
+    stack on GAN iters just to pick a slice on device."""
     inter = img_y[:, :-1]                              # drop the gt slot
-    valid = jnp.abs(inter).sum(axis=(2, 3, 4)) > 0     # (B, T-2)
+    valid = np.abs(inter.astype(np.int64) if img_y.dtype == np.uint8
+                   else inter).sum(axis=(2, 3, 4)) > 0  # (B, T-2)
     t = valid.shape[1]
-    idx = t - 1 - jnp.argmax(valid[:, ::-1].astype(jnp.int32), axis=1)
-    idx = jnp.where(valid.any(axis=1), idx, 0)
-    return jnp.take_along_axis(
+    idx = t - 1 - np.argmax(valid[:, ::-1].astype(np.int32), axis=1)
+    idx = np.where(valid.any(axis=1), idx, 0)
+    return np.take_along_axis(
         inter, idx[:, None, None, None, None], axis=1)[:, 0]
 
 
@@ -131,6 +137,10 @@ def main(argv=None):
     p.add_argument("--lambda_feat", type=float, default=10.0)
     p.add_argument("--adapt_pseudo_real", type=int, default=0,
                    help="AdaptGAN: use the last planner edit as pseudo-real")
+    p.add_argument("--wire_u8", type=int, default=1, choices=(0, 1),
+                   help="uint8 host->device image wire + on-device /255 "
+                        "(within 1 ulp; see cli/train_fivek.py). FiveK "
+                        "file datasets only")
     p.add_argument("--vgg_ckpt", default=None,
                    help="torchvision vgg19 .pth — enables the G_VGG "
                         "perceptual term (reference VGGLoss, "
@@ -140,14 +150,18 @@ def main(argv=None):
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
 
-    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(a, "train")
+    train_ds, vocab2id, id2op, w2v = common.build_dataset_and_vocab(
+        a, "train", wire_u8=bool(a.wire_u8))
     val_ds, _, _, _ = common.build_dataset_and_vocab(a, "val", eval_img_mode="train_size")
     actor, cfg = common.build_actor(a, len(vocab2id), w2v)
 
+    from t2onet_tpu.data.loader import Prefetcher, device_put_batch
+
     sample = next(train_ds.batches(a.batch_size, 1, shuffle=False))
+    init_b = device_put_batch({"x": sample["x"], "img_x": sample["img_x"]})
     state = create_train_state(
         actor, jax.random.PRNGKey(a.manual_seed),
-        jnp.asarray(sample["x"]), jnp.asarray(sample["img_x"]),
+        init_b["x"], init_b["img_x"],
         learning_rate=a.learning_rate)
 
     bundle = DiscBundle(ndf=64, n_layers=a.n_layers_D, num_D=a.num_D)
@@ -268,38 +282,54 @@ def main(argv=None):
         rng = jax.random.fold_in(rng, start_itr)
     tik = time.time()
     n_left = max(a.num_iters - start_itr + 1, 0)
-    for itr, batch in enumerate(
-            train_ds.batches(a.batch_size, n_left, shuffle=True),
-            start=start_itr):
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "req"}
-        if itr % 2 == 1:
-            state, m = sup_step(state, {k: jb[k] for k in
-                                        ("x", "y", "img_x", "img_y",
-                                         "gt_params")})
+
+    import itertools
+
+    stage_itr = itertools.count(start_itr)
+
+    def stage(b):
+        # Phase-aware H2D staging on the prefetch thread (see
+        # cli/train_fivek.py): GAN iters ship img_x + final gt (+ the one
+        # host-selected pseudo-real frame), never the whole teacher stack.
+        sup = next(stage_itr) % 2 == 1
+        if sup:
+            keep = {k: b[k] for k in ("x", "y", "img_x", "img_y",
+                                      "gt_params")}
         else:
-            rng, sub = jax.random.split(rng)
-            gb = {"x": jb["x"], "img_x": jb["img_x"],
-                  "gt_img": jb["img_y"][:, -1]}
+            keep = {"x": b["x"], "img_x": b["img_x"],
+                    "gt_img": b["img_y"][:, -1]}
             if a.adapt_pseudo_real:
-                gb["pseudo_real"] = last_valid_teacher(jb["img_y"])
-            state, gan, m = gan_step(state, gan, gb, sub)
-        if itr % a.print_every == 0:
-            dt = (time.time() - tik) / a.print_every
-            tik = time.time()
-            print(f"iter {itr}/{a.num_iters} "
-                  + " ".join(f"{k} {float(v):.3f}" for k, v in m.items())
-                  + f" {dt * 1e3:.0f} ms/it", flush=True)
-            logger.log(itr, **{k: float(v) for k, v in m.items()})
-        if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
-            val = evaluate(actor, state, val_ds, min(a.batch_size, 16), 4,
-                           eval_fn)
-            is_best = ckpt.save(state, itr, val)
-            d_ckpt.save({"d_params": gan.d_params,
-                         "d_batch_stats": gan.d_batch_stats},
-                        itr, best=is_best)
-            opt_ckpt.save({"d_opt": gan.d_opt, "g_opt": gan.g_opt}, itr)
-        if itr >= a.num_iters:
-            break
+                keep["pseudo_real"] = last_valid_teacher(b["img_y"])
+        return sup, device_put_batch(keep)
+
+    it = Prefetcher(train_ds.batches(a.batch_size, n_left, shuffle=True),
+                    to_device=stage, depth=2)
+    try:
+        for itr, (sup, jb) in enumerate(it, start=start_itr):
+            if sup:
+                state, m = sup_step(state, jb)
+            else:
+                rng, sub = jax.random.split(rng)
+                state, gan, m = gan_step(state, gan, jb, sub)
+            if itr % a.print_every == 0:
+                dt = (time.time() - tik) / a.print_every
+                tik = time.time()
+                print(f"iter {itr}/{a.num_iters} "
+                      + " ".join(f"{k} {float(v):.3f}" for k, v in m.items())
+                      + f" {dt * 1e3:.0f} ms/it", flush=True)
+                logger.log(itr, **{k: float(v) for k, v in m.items()})
+            if itr % a.checkpoint_every == 0 or itr >= a.num_iters:
+                val = evaluate(actor, state, val_ds, min(a.batch_size, 16),
+                               4, eval_fn)
+                is_best = ckpt.save(state, itr, val)
+                d_ckpt.save({"d_params": gan.d_params,
+                             "d_batch_stats": gan.d_batch_stats},
+                            itr, best=is_best)
+                opt_ckpt.save({"d_opt": gan.d_opt, "g_opt": gan.g_opt}, itr)
+            if itr >= a.num_iters:
+                break
+    finally:
+        it.close()
     print("GAN training done")
 
 

@@ -33,14 +33,25 @@ SERIALIZE_PARAM_COUNTS = (1, 1, 1, 24, 0, 8, 1, 0)
 ACT2PN = dict(zip(_OP_NAMES, SERIALIZE_PARAM_COUNTS))
 
 
-def load_train_img(path: str, img_size: int) -> np.ndarray:
-    """Square-resized training image (reference visual_utils.py:6-14)."""
+def load_train_img(path: str, img_size: int, dtype=np.float32) -> np.ndarray:
+    """Square-resized training image (reference visual_utils.py:6-14).
+
+    dtype=np.uint8 keeps the cv2-native 8-bit pixels (CHW, RGB) for a 4x
+    cheaper host cache + host->device wire; dividing by 255 on device
+    reproduces the float32 path to within 1 ulp — the resize already runs
+    on uint8 in both cases and /255 is the only float step (XLA
+    strength-reduces the constant division to a reciprocal multiply,
+    hence ulp-level rather than bit-identical; ~5 orders of magnitude
+    below the JPEG quantization the pixels carry anyway).
+    """
     import cv2
 
     img = cv2.imread(path)
     img = cv2.resize(img, (img_size, img_size))
-    img = img[:, :, ::-1].astype(np.float32)
-    return img.transpose(2, 0, 1) / 255.0
+    img = img[:, :, ::-1].transpose(2, 0, 1)
+    if dtype == np.uint8:
+        return np.ascontiguousarray(img)
+    return np.ascontiguousarray(img).astype(np.float32) / 255.0
 
 
 def load_infer_img_short_size_bounded(path: str, short_size: int = 600
@@ -98,18 +109,26 @@ class FiveK:
 
     def __init__(self, img_dir: str, anno_dir: str, phase: str,
                  session: int = 1, train_img_size: int = 128,
-                 req_max_len: int = 15, eval_img_mode: str = "native"):
+                 req_max_len: int = 15, eval_img_mode: str = "native",
+                 wire_dtype=np.float32):
         """eval_img_mode: 'native' loads val/test images short-side-600 at
         their own aspect ratios (the reference's bs=1 eval protocol,
         visual_utils.py:34-47) — batches() then requires batch_size 1;
         'train_size' loads them square at train_img_size so in-training
         validation can batch under one compiled shape (final metrics still
-        come from the native-res bucketed path in cli/test_fivek)."""
+        come from the native-res bucketed path in cli/test_fivek).
+
+        wire_dtype=np.uint8 emits fixed-size (train / train_size) images
+        as 8-bit CHW: exact same pixels after an on-device /255
+        (data/loader.py normalizes), 4x less host RAM + H2D traffic —
+        the training bottleneck through the single-chip tunnel. Native-res
+        eval loads stay float32 regardless."""
         self.img_dir = img_dir
         self.phase = phase
         self.train_img_size = train_img_size
         self.req_max_len = req_max_len
         self.eval_img_mode = eval_img_mode
+        self.wire_dtype = np.dtype(wire_dtype)
         with open(os.path.join(anno_dir, f"{phase}_sess_{session}.json")) as f:
             self.data = json.load(f)
         # decoded-item cache: JPEG decode + resize on the host is the
@@ -146,7 +165,7 @@ class FiveK:
     def _load(self, name: str) -> np.ndarray:
         path = os.path.join(self.img_dir, name)
         if self.phase == "train" or self.eval_img_mode == "train_size":
-            return load_train_img(path, self.train_img_size)
+            return load_train_img(path, self.train_img_size, self.wire_dtype)
         return load_infer_img_short_size_bounded(path, 600)
 
     def __getitem__(self, item: int):
@@ -184,8 +203,9 @@ class FiveKAct(FiveK):
 
     def __init__(self, img_dir: str, anno_dir: str, act_dir: str, phase: str,
                  session: int = 1, train_img_size: int = 128,
-                 op_max_len: int = 5):
-        super().__init__(img_dir, anno_dir, phase, session, train_img_size)
+                 op_max_len: int = 5, wire_dtype=np.float32):
+        super().__init__(img_dir, anno_dir, phase, session, train_img_size,
+                         wire_dtype=wire_dtype)
         self.act_dir = act_dir
         self.op_max_len = op_max_len
 
@@ -196,11 +216,12 @@ class FiveKAct(FiveK):
         op_seq, params, trunc = parse_action_json(act, self.op_max_len)
         imgs = np.zeros(
             (self.op_max_len, 3, self.train_img_size, self.train_img_size),
-            np.float32)
+            self.wire_dtype)
         for i in range(trunc):
             p = os.path.join(item_dir, f"edit{i}.jpg")
             if os.path.exists(p):
-                imgs[i] = load_train_img(p, self.train_img_size)
+                imgs[i] = load_train_img(p, self.train_img_size,
+                                         self.wire_dtype)
         return op_seq, params, imgs
 
     def __getitem__(self, item: int):

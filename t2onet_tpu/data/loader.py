@@ -14,6 +14,7 @@ import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -104,19 +105,29 @@ class Prefetcher:
         return False
 
 
+@jax.jit
+def _u8_to_unit(x):
+    """uint8 pixels -> float32 [0,1] ON DEVICE: images ride the (tunnel)
+    wire at 1/4 the bytes and the /255 reproduces the host float path to
+    within 1 ulp (see data/fivek.py load_train_img)."""
+    return x.astype(jnp.float32) / 255.0
+
+
 def device_put_batch(batch: dict, sharding=None) -> dict:
     """numpy batch -> device arrays (aux string lists pass through).
 
     With a sharding, the host array is transferred straight to its shards
     (one H2D per shard) — never staged whole on the default device first.
+    uint8 arrays (the datasets' wire_dtype=uint8 image format) are
+    normalized to float32 [0,1] on device after the transfer, so step
+    functions keep their float contract while the wire carries 8-bit.
     """
-    import jax.numpy as jnp
-
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = (jax.device_put(v, sharding) if sharding is not None
-                      else jnp.asarray(v))
+            dv = (jax.device_put(v, sharding) if sharding is not None
+                  else jnp.asarray(v))
+            out[k] = _u8_to_unit(dv) if v.dtype == np.uint8 else dv
         else:
             out[k] = v
     return out
