@@ -195,10 +195,11 @@ def build_dataset_and_vocab(a, phase: str = "train",
     differ per sample); 'train_size' loads square train-resolution images
     so in-training validation can batch under one compiled shape.
 
-    wire_u8=True (FiveK file-backed datasets only): emit images as uint8
-    CHW so the host cache and H2D wire carry 1/4 the bytes; consumers
-    must normalize on device (data/loader.device_put_batch does). Within
-    1 ulp of the float path — see data/fivek.load_train_img."""
+    wire_u8=True (file-backed train datasets; GIER masks stay float32):
+    emit images as uint8 CHW so the host cache and H2D wire carry 1/4
+    the bytes; consumers must normalize on device
+    (data/loader.device_put_batch does). Within 1 ulp of the float path
+    — see data/fivek.load_train_img."""
     if a.synthetic:
         from t2onet_tpu.data.synthetic import SyntheticFiveK, synthetic_vocab
 
@@ -219,12 +220,15 @@ def build_dataset_and_vocab(a, phase: str = "train",
         from t2onet_tpu.data.gier import GIERDataset, GIERDatasetAct
 
         if phase == "train":
+            import numpy as np
+
             act_dir = a.act_dir or f"output/GIER_actions_set_{a.action_id}"
             ds = GIERDatasetAct(
                 os.path.join(a.data_dir, "GIER"), vocab_dir, act_dir, phase,
                 data_mode=getattr(a, "data_mode", "global"),
                 is_load_mask=bool(getattr(a, "is_load_mask", 0)),
-                session=a.session, train_img_size=a.img_size)
+                session=a.session, train_img_size=a.img_size,
+                wire_dtype=np.uint8 if wire_u8 else np.float32)
         else:
             # planner actions exist for train only — val/test evaluate on
             # plain request/pair items (reference test_GIER_seq2seqL1.py

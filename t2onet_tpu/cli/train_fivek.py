@@ -66,7 +66,7 @@ def main(argv=None):
                         "path — the JPEGs are 8-bit and resize runs on "
                         "uint8 either way; 4x less wire traffic, the "
                         "bottleneck through the single-chip tunnel). "
-                        "FiveK file datasets only")
+                        "File-backed datasets (FiveK/GIER) only")
     p.add_argument("--pallas_exec", type=int, default=-1, choices=(-1, 0, 1),
                    help="episode phase executes ops via the fused Pallas "
                         "step kernel (custom VJP, selected branch only — "

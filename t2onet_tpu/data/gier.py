@@ -43,8 +43,10 @@ class GIER:
     def __init__(self, data_dir: str, vocab_dir: str, phase: str,
                  data_mode: str = "global", is_load_mask: bool = False,
                  session: int = 3, train_img_size: int = 128,
-                 eval_img_mode: str = "native"):
+                 eval_img_mode: str = "native", wire_dtype=np.float32):
         self.op_max_len = 10
+        # uint8 image wire (masks stay float32) — see data/fivek.py
+        self.wire_dtype = np.dtype(wire_dtype)
         # 'train_size': square train-resolution val/test images (batched
         # in-training validation); 'native': the reference's short-side-600
         self.eval_img_mode = eval_img_mode
@@ -192,7 +194,7 @@ class GIER:
 
         path = os.path.join(self.img_dir, name)
         if self.phase == "train" or self.eval_img_mode == "train_size":
-            return load_train_img(path, self.train_img_size)
+            return load_train_img(path, self.train_img_size, self.wire_dtype)
         if like_hw is None:
             return load_infer_img_short_size_bounded(path)
         img = cv2.imread(path)
@@ -222,9 +224,9 @@ class GIER:
     def get_pair_item(self, pair_id: int) -> Dict:
         d = self.op_data[pair_id]
         input_img = load_train_img(os.path.join(self.img_dir, d["input"]),
-                                   self.train_img_size)
+                                   self.train_img_size, self.wire_dtype)
         output_img = load_train_img(os.path.join(self.img_dir, d["output"]),
-                                    self.train_img_size)
+                                    self.train_img_size, self.wire_dtype)
         op_idx, is_local, mask_dict = self.get_op_info(pair_id)
         out = {"input": input_img, "output": output_img,
                "is_local": is_local, "op_idx": op_idx,
@@ -259,12 +261,12 @@ class GIERDataset:
 
     def __init__(self, data_dir, vocab_dir, phase, data_mode="global",
                  is_load_mask=False, session=3, train_img_size=128,
-                 eval_img_mode="native"):
+                 eval_img_mode="native", wire_dtype=np.float32):
         self.op_max_len = 8
         self.is_load_mask = is_load_mask
         self.GIER = GIER(data_dir, vocab_dir, phase, data_mode,
                          is_load_mask, session, train_img_size,
-                         eval_img_mode=eval_img_mode)
+                         eval_img_mode=eval_img_mode, wire_dtype=wire_dtype)
         self.vocab2id = self.GIER.vocab2id
         self.id2op_vocab = self.GIER.id2op_vocab
         self.op_vocab2id = self.GIER.op_vocab2id
@@ -318,11 +320,13 @@ class GIERDatasetAct(GIERDataset):
 
     def __init__(self, data_dir, vocab_dir, act_dir, phase,
                  data_mode="global", is_load_mask=False, session=3,
-                 train_img_size=128):
+                 train_img_size=128, wire_dtype=np.float32):
         super().__init__(data_dir, vocab_dir, phase, data_mode,
-                         is_load_mask, session, train_img_size)
+                         is_load_mask, session, train_img_size,
+                         wire_dtype=wire_dtype)
         self.act_dir = act_dir
         self.train_img_size = train_img_size
+        self.wire_dtype = np.dtype(wire_dtype)
 
     def get_act(self, item: int):
         pair_id = self.GIER.ReqId2PairId[item]
@@ -332,11 +336,12 @@ class GIERDatasetAct(GIERDataset):
             act = json.load(f)
         op_seq, params, trunc = parse_action_json(act, self.op_max_len)
         imgs = np.zeros((self.op_max_len, 3, self.train_img_size,
-                         self.train_img_size), np.float32)
+                         self.train_img_size), self.wire_dtype)
         for i in range(trunc):
             p = os.path.join(item_dir, f"edit{i}.jpg")
             if os.path.exists(p):
-                imgs[i] = load_train_img(p, self.train_img_size)
+                imgs[i] = load_train_img(p, self.train_img_size,
+                                         self.wire_dtype)
         return op_seq, params, imgs
 
     def __getitem__(self, item: int) -> Dict:
