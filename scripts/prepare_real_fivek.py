@@ -12,8 +12,10 @@ JPEGs. This script builds a `data/` workspace the CLIs consume directly:
 - synthesizes a deterministic image for every referenced filename under
   {out}/FiveK/images/: the *_O.jpg input is a smooth per-name gradient
   scene and the *_E.jpg output is a global edit of its input (exposure /
-  saturation / contrast derived from the name hash), so planning finds
-  real operator fits and training has a learnable signal.
+  saturation / contrast / warmth) whose DIRECTION comes from the real
+  request's keywords and whose jitter comes from the request hash — the
+  language -> edit mapping is consistent across splits, so planning finds
+  real operator fits and training/val/test have a learnable signal.
 
 Everything except the pixels is the reference's own data; SURVEY §2.8
 dataset semantics (request_idx consistency is asserted in
@@ -67,16 +69,87 @@ def synth_input(name: str, size: int) -> np.ndarray:
     return np.clip(img, 0.02, 0.98)
 
 
-def synth_output(inp: np.ndarray, name: str) -> np.ndarray:
-    """A global edit of the input, parameterized by the OUTPUT name hash —
-    shaped like the operator family (exposure+saturation+contrast) so the
-    planner can actually invert it."""
-    r = _hash01(name, "edit", 4)
-    img = inp * (2.0 ** (0.8 * (r[0] - 0.3)))            # exposure
+# request keyword families -> (exposure, saturation, contrast, warmth)
+# direction votes. The real FiveK request language is editing-verb heavy
+# ("lighten", "make it warmer", "more contrast"), so a token-level lexicon
+# captures most of the edit intent.
+_LEXICON = {
+    "exp+": ("bright", "brighten", "brightened", "brighter", "brightness",
+             "light", "lighten", "lightened", "lighter", "lighting",
+             "illuminate", "illuminated", "glow", "exposure", "expose",
+             "exposed", "luminous", "sunny", "daylight", "visable",
+             "visible", "clearer"),
+    "exp-": ("dark", "darken", "darkened", "darker", "darkness", "dim",
+             "dimmer", "dimmed", "shadow", "shadows", "dusk", "night",
+             "moody", "underexpose", "underexposed"),
+    "sat+": ("saturate", "saturated", "saturation", "vibrant", "vibrance",
+             "vivid", "colorful", "colourful", "colors", "colours", "pop",
+             "rich", "richer", "intense", "punchy", "boost"),
+    "sat-": ("desaturate", "desaturated", "mute", "muted", "faded", "fade",
+             "washed", "pale", "gray", "grey", "grayscale", "greyscale",
+             "monochrome", "bw", "bleach", "bleached", "subtle"),
+    "con+": ("contrast", "contrasty", "crisp", "crisper", "dramatic",
+             "dramatically", "deep", "deeper", "bold", "punch"),
+    "con-": ("soft", "soften", "softer", "flat", "flatter", "hazy",
+             "dreamy", "gentle", "matte"),
+    "wrm+": ("warm", "warmer", "warmth", "warming", "golden", "sunset",
+             "orange", "sepia", "amber", "cozy"),
+    "wrm-": ("cool", "cooler", "cooling", "cold", "colder", "blue",
+             "bluer", "icy", "winter", "chilly"),
+}
+_REDUCERS = ("less", "reduce", "reduced", "reduces", "decrease",
+             "decreased", "lower", "remove", "removed", "down", "minimize")
+
+
+def request_edit_scores(request: str):
+    """Request text -> (exposure, saturation, contrast, warmth) scores in
+    [-1, 1]. Reduction words ('reduce the exposure') flip the vote signs."""
+    import re
+
+    toks = re.findall(r"[a-z]+", request.lower())
+    votes = {"exp": 0, "sat": 0, "con": 0, "wrm": 0}
+    for t in toks:
+        for key, words in _LEXICON.items():
+            if t in words:
+                votes[key[:3]] += 1 if key[3] == "+" else -1
+    flip = -1.0 if any(t in _REDUCERS for t in toks) else 1.0
+    return tuple(flip * float(np.clip(votes[k], -1, 1))
+                 for k in ("exp", "sat", "con", "wrm"))
+
+
+def synth_output(inp: np.ndarray, name: str, request: str | None = None
+                 ) -> np.ndarray:
+    """A global edit of the input — exposure+saturation+contrast(+warmth),
+    shaped like the operator family so the planner can invert it.
+
+    With a request (the default staging mode), the edit DIRECTION comes
+    from the request's keywords and the magnitude jitter from the request
+    hash, so pixels are a pure function of (input scene, request text):
+    the language -> edit mapping is consistent across train/val/test and
+    a seq2seq model can actually generalize. (The original name-hash mode
+    made the edit independent of the request, which capped val/test at
+    the identity baseline by construction.) Without a request, the edit
+    falls back to the output-name hash."""
+    if request is not None:
+        s_exp, s_sat, s_con, s_wrm = request_edit_scores(request)
+        h = _hash01(request, "reqedit", 4)
+        exp_mult = 2.0 ** (0.5 * s_exp + 0.3 * (h[0] - 0.5))
+        sat_fac = 1.0 + 0.45 * s_sat + 0.25 * (h[1] - 0.5)
+        con_fac = 1.0 + 0.28 * s_con + 0.18 * (h[2] - 0.5)
+        wrm = 0.12 * s_wrm + 0.06 * (h[3] - 0.5)
+    else:
+        r = _hash01(name, "edit", 4)
+        exp_mult = 2.0 ** (0.8 * (r[0] - 0.3))
+        sat_fac = 0.7 + 0.8 * r[1]
+        con_fac = 0.8 + 0.5 * r[2]
+        wrm = 0.0
+    img = inp * exp_mult                                 # exposure
     lum = (0.27 * img[..., 0] + 0.67 * img[..., 1]
            + 0.06 * img[..., 2])[..., None]
-    img = lum + (img - lum) * (0.7 + 0.8 * r[1])         # saturation
-    img = 0.5 + (img - 0.5) * (0.8 + 0.5 * r[2])         # contrast
+    img = lum + (img - lum) * sat_fac                    # saturation
+    img = 0.5 + (img - 0.5) * con_fac                    # contrast
+    if wrm:
+        img = img * np.asarray([1.0 + wrm, 1.0, 1.0 - wrm])  # warmth
     return np.clip(img, 0.0, 1.0)
 
 
@@ -118,7 +191,8 @@ def prepare(ref_dir: str, out_dir: str, limit=None, img_size: int = 160,
                 _imwrite(in_path, synth_input(a["input"], img_size))
             if not os.path.exists(out_path):
                 inp = synth_input(a["input"], img_size)
-                _imwrite(out_path, synth_output(inp, a["output"]))
+                _imwrite(out_path, synth_output(inp, a["output"],
+                                                a.get("request")))
         counts[phase] = len(anns)
     return counts
 
