@@ -77,6 +77,8 @@ def test_native_res(actor, state, ds, a, id2op, run_dir="output/test",
         h, w = valid_hw
         evaluator.update(img_x[None, :, :h, :w], pred_c[None],
                          img_y[None, :, :h, :w])
+        if (i + 1) % 64 == 0:
+            print(f"eval {i + 1}/{len(ds)} pairs", flush=True)
         if webpage is not None and i % 25 == 0:
             update_web_row(webpage, i, req, img_x,
                            np.asarray(crop_valid(out["imgs"][0], valid_hw)),
