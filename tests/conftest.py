@@ -21,9 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite's cost is dominated by whole-train-
 # step XLA compiles on this 1-core box; cached re-runs cut minutes.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_t2onet"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Same env override contract as cli/common.py (T2ONET_COMPILE_CACHE;
+# '0' disables) so tests and the CLIs they spawn share one cache.
+_cache_loc = os.environ.get("T2ONET_COMPILE_CACHE")
+if _cache_loc != "0":
+    jax.config.update("jax_compilation_cache_dir",
+                      _cache_loc or os.path.expanduser("~/.cache/jax_t2onet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import gc  # noqa: E402
 
