@@ -257,6 +257,57 @@ def make_features_fn(variables, resize: bool = True,
     return features
 
 
+def export_torchvision_inception(variables: Dict) -> Dict:
+    """flax params/batch_stats -> a torchvision-named inception state_dict.
+
+    Exact inverse of `convert_torchvision_inception` (HWIO -> OIHW,
+    scale/bias -> bn.weight/bias, mean/var -> running stats). Used to
+    manufacture a valid `.pth` locally — e.g. random-init weights to prove
+    the `--fid_inception_ckpt` eval path end-to-end where the pretrained
+    pt_inception download is unreachable (reference fid_score.py:138-156)."""
+    import torch
+
+    out: Dict = {}
+
+    def walk(tree, path, kind):
+        for name, node in tree.items():
+            if not isinstance(node, dict):
+                prefix = ".".join(path[:-1]) if len(path) > 1 else ""
+                mod = (prefix + "." if prefix else "") + path[-1]
+                v = np.asarray(node, np.float32)
+                if path[-1] == "conv" and name == "kernel":
+                    out[f"{mod}.weight"] = torch.from_numpy(
+                        v.transpose(3, 2, 0, 1).copy())
+                elif path[-1] == "bn":
+                    tv = {"scale": "weight", "bias": "bias",
+                          "mean": "running_mean", "var": "running_var"}[name]
+                    out[f"{mod}.{tv}"] = torch.from_numpy(v.copy())
+            else:
+                walk(node, path + [name], kind)
+
+    walk(variables["params"], [], "params")
+    walk(variables["batch_stats"], [], "stats")
+    return out
+
+
+def make_random_inception_pth(path: str, seed: int = 0) -> None:
+    """Write a random-init torchvision-named inception `.pth`.
+
+    Stands in for the undownloadable pt_inception-2015-12-05 weights to
+    drive the full FID eval seam (load -> convert -> extract -> Frechet);
+    FID numbers from it are architecture-valid but not comparable to
+    published FIDs."""
+    import torch
+
+    model = InceptionV3Features()
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 3, 299, 299), jnp.float32))
+    # BN running stats init to mean 0 / var 1; keep them but randomize
+    # convs' scales a little so features are non-degenerate.
+    torch.save(export_torchvision_inception(
+        jax.tree.map(np.asarray, dict(variables))), path)
+
+
 def load_fid_inception(path: str, fid_variant: bool = True):
     """Load an inception .pth and return a features_fn.
 

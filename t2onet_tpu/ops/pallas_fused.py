@@ -45,17 +45,40 @@ def _brightness(img, p):
 
 
 def _saturation(img, p):
-    # RGB-domain exact form of the HSV saturation scale (see ops/operators.py)
+    """RGB-domain exact form of the HSV saturation scale, refactored to a
+    SINGLE division (VPU divides are multi-pass): with s = d/(v+e1),
+    d = v-min, the bank's clip(s(1+p),0,1)/(s+e2) equals
+    clip(d(1+p), 0, v+e1) / (d + e2(v+e1)) exactly in real arithmetic."""
     v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
     mn = jnp.minimum(jnp.minimum(img[0], img[1]), img[2])
-    s = (v - mn) / (v + 1e-8)
-    ratio = jnp.clip(s * (1.0 + p[0]), 0.0, 1.0) / (s + 1e-12)
+    d = v - mn
+    ve = v + 1e-8
+    num = jnp.clip(d * (1.0 + p[0]), 0.0, ve)
+    ratio = num / (d + 1e-12 * ve)
     return v[None] - ratio[None] * (v[None] - img)
+
+
+# sin(pi*u)/u as an even polynomial in u^2, least-squares fit on [0, 0.5]:
+# max abs error of the reconstructed sin is 8e-11 (2e-7 in f32 — below
+# f32 rounding of the builtin). Mosaic lowers jnp.cos through a slow
+# multi-pass transcendental; 6 FMAs are ~10x cheaper on the VPU.
+_SINPI_C = (3.1415926536, -5.1677127683, 2.5501634534,
+            -5.9925387121e-1, 8.2058791186e-2, -7.0429524662e-3)
+
+
+def _cospi01(x):
+    """cos(pi*x) for x in [0, 1] via cos(pi x) = -sin(pi(x - 1/2))."""
+    u = x - 0.5
+    v = u * u
+    acc = jnp.full_like(x, _SINPI_C[-1])
+    for c in reversed(_SINPI_C[:-1]):
+        acc = acc * v + c
+    return -(acc * u)
 
 
 def _contrast(img, p):
     lum = jnp.clip(0.27 * img[0] + 0.67 * img[1] + 0.06 * img[2], 0.0, 1.0)
-    clum = -jnp.cos(jnp.pi * lum) * 0.5 + 0.5
+    clum = -_cospi01(lum) * 0.5 + 0.5
     ratio = clum / (lum + 1e-6)
     cimg = img * ratio[None]
     return (1.0 - p[0]) * img + p[0] * cimg
@@ -107,6 +130,23 @@ def _sharpness(img, p):
     return img + p[0] * delta
 
 
+def _sharpness_roll(img, p):
+    """Laplacian sharpen via pltpu.roll (sublane/lane rotate, ~1 VPU pass)
+    + edge masks, instead of `_shift_zero`'s concat-of-slices (a full tile
+    copy per shift in Mosaic). TPU-only (roll has no interpret lowering)."""
+    h, w = img.shape[1], img.shape[2]
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    zero = jnp.zeros((), img.dtype)
+    # roll requires shift >= 0: shift by size-1 == shift by -1
+    dn = jnp.where(yi >= 1, pltpu.roll(img, 1, 1), zero)
+    up = jnp.where(yi < h - 1, pltpu.roll(img, h - 1, 1), zero)
+    rt = jnp.where(xi >= 1, pltpu.roll(img, 1, 2), zero)
+    lt = jnp.where(xi < w - 1, pltpu.roll(img, w - 1, 2), zero)
+    delta = 4.0 * img - dn - up - rt - lt
+    return img + p[0] * delta
+
+
 def _white(img, p):
     return jnp.ones_like(img)
 
@@ -149,33 +189,68 @@ def _apply_step(op, img, plist, m):
     return jnp.where(op == 0, img, out)
 
 
-def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps):
+def _run_branches(op, out_ref, params_fn, m, use_roll):
+    """One chain step, in place on the VMEM-resident out_ref tile.
+
+    Each non-identity branch is a `pl.when(op == slot)` region that reads
+    the tile, applies its op + optional mask blend + clamp, and stores
+    back — so a step costs ONLY the taken branch. The previous
+    `lax.switch` design carried the (3,H,W) tile as an if-else VALUE,
+    which Mosaic lowers with a full tile copy per nested-if level
+    (~0.58 ms/step/level at b128 512px, measured: the param-free `white`
+    branch at slot 8 cost as much as the 32-pass tone curve). The
+    identity slot writes nothing — exactly `_apply_step`'s
+    where(op == 0, img, ...) semantics (no mask blend, no clamp).
+    """
+    sharp = _sharpness_roll if use_roll else _sharpness
+
+    def finish(out, img):
+        if m is not None:
+            out = out * m[None] + img * (1.0 - m[None])
+        return jnp.clip(out, 0.0, 1.0)
+
+    for slot, branch in [(1, _brightness), (2, _contrast), (3, _saturation),
+                         (4, _color), (6, _tone), (7, sharp), (8, _white)]:
+        @pl.when(op == slot)
+        def _(branch=branch):
+            img = out_ref[0]
+            out_ref[0] = finish(branch(img, params_fn()), img)
+    # slots 0 (special tokens) and 5 (inpaint: pluggable backend runs
+    # outside the kernel) are identity: no write.
+
+
+def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps,
+                  use_roll):
     b = pl.program_id(0)
+    out_ref[0] = img_ref[0]
 
-    def step(k, img):
-        # dynamic-k SMEM scalar reads; the 9-branch switch is emitted ONCE
+    def step(k, carry):
+        # dynamic-k SMEM scalar reads; branch bodies are emitted ONCE
         # (a fori_loop over steps keeps Mosaic compile time flat in K)
-        op = ops_ref[b, k]
-        p = [params_ref[b, k, j] for j in range(MAX_PARAM)]
-        return _apply_step(op, img, p, None)
+        _run_branches(ops_ref[b, k], out_ref,
+                      lambda: [params_ref[b, k, j]
+                               for j in range(MAX_PARAM)], None, use_roll)
+        return carry
 
-    out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
+    jax.lax.fori_loop(0, n_steps, step, 0)
 
 
 def _masked_chain_kernel(ops_ref, params_ref, img_ref, mask_ref, out_ref, *,
-                         n_steps):
+                         n_steps, use_roll):
     """Chain with per-step mask blending (reference operators.py:129-130:
     out = clip(op(img)*mask + img*(1-mask))) — the GIER local-edit path,
     mask resident in VMEM alongside the image for the whole chain."""
     b = pl.program_id(0)
     m = mask_ref[0, 0]                                # (H, W)
+    out_ref[0] = img_ref[0]
 
-    def step(k, img):
-        op = ops_ref[b, k]
-        p = [params_ref[b, k, j] for j in range(MAX_PARAM)]
-        return _apply_step(op, img, p, m)
+    def step(k, carry):
+        _run_branches(ops_ref[b, k], out_ref,
+                      lambda: [params_ref[b, k, j]
+                               for j in range(MAX_PARAM)], m, use_roll)
+        return carry
 
-    out_ref[0] = jax.lax.fori_loop(0, n_steps, step, img_ref[0])
+    jax.lax.fori_loop(0, n_steps, step, 0)
 
 
 def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
@@ -201,9 +276,11 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
     in_specs = [img_spec]
     operands = [imgs]
     if mask is None:
-        kernel = functools.partial(_chain_kernel, n_steps=k)
+        kernel = functools.partial(_chain_kernel, n_steps=k,
+                                   use_roll=not interpret)
     else:
-        kernel = functools.partial(_masked_chain_kernel, n_steps=k)
+        kernel = functools.partial(_masked_chain_kernel, n_steps=k,
+                                   use_roll=not interpret)
         in_specs.append(pl.BlockSpec((1, 1, h, w), lambda i, *_: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(mask.astype(imgs.dtype))
@@ -232,28 +309,46 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
 # differentiable single-step kernel (episode-phase training)
 # ---------------------------------------------------------------------------
 
-def _step_bwd_kernel(ops_ref, params_ref, img_ref, g_ref, dimg_ref, dp_ref):
-    """VJP of one chain step: only the SELECTED branch's backward runs.
+def _bwd_branches(op, p, m, img_ref, g_ref, dimg_ref, dp_ref):
+    """Per-branch guarded VJP: only the SELECTED branch's backward runs.
 
-    jax.vjp is applied *inside* the kernel body to the same `_apply_step`
-    math as the forward — linearization happens at trace time, so the
-    lowered kernel is ordinary elementwise math + full-plane reductions
-    (one scalar per parameter), still one program per image with the tile
-    resident in VMEM. This is what lets episode-phase training drop the
-    differentiable bank's 8-branch one-hot blend (compute-all + blend)
-    for selected-branch cost on both the forward AND backward pass.
+    jax.vjp is applied *inside* each `pl.when(op == slot)` region to that
+    branch's step math (branch -> mask blend -> clamp) — linearization
+    happens at trace time, so each region lowers to ordinary elementwise
+    math + full-plane reductions (one scalar per parameter), with the
+    tile resident in VMEM. Guarded regions replace the old value-carrying
+    `lax.switch` (which copied the tile per nested-if level). Defaults
+    written by the caller cover the identity slots 0/5: d(img) = g,
+    d(p) = 0 — exact, since img is already in [0,1] so the clamp is
+    gradient-transparent there.
     """
+    for slot, branch in [(1, _brightness), (2, _contrast), (3, _saturation),
+                         (4, _color), (6, _tone), (7, _sharpness),
+                         (8, _white)]:
+        @pl.when(op == slot)
+        def _(branch=branch):
+            def f(im, ps):
+                out = branch(im, ps)
+                if m is not None:
+                    out = out * m[None] + im * (1.0 - m[None])
+                return jnp.clip(out, 0.0, 1.0)
+
+            out, vjp = jax.vjp(f, img_ref[0], p)
+            del out
+            d_img, d_p = vjp(g_ref[0])
+            dimg_ref[0] = d_img
+            for j in range(MAX_PARAM):
+                dp_ref[0, 0, j] = d_p[j]
+
+
+def _step_bwd_kernel(ops_ref, params_ref, img_ref, g_ref, dimg_ref, dp_ref):
     b = pl.program_id(0)
     op = ops_ref[b, 0]
     p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
-
-    out, vjp = jax.vjp(lambda im, pl_: _apply_step(op, im, pl_, None),
-                       img_ref[0], p)
-    del out
-    d_img, d_p = vjp(g_ref[0])
-    dimg_ref[0] = d_img
+    dimg_ref[0] = g_ref[0]                      # identity-slot default
     for j in range(MAX_PARAM):
-        dp_ref[0, 0, j] = d_p[j]
+        dp_ref[0, 0, j] = 0.0
+    _bwd_branches(op, p, None, img_ref, g_ref, dimg_ref, dp_ref)
 
 
 def _masked_step_bwd_kernel(ops_ref, params_ref, img_ref, mask_ref, g_ref,
@@ -261,15 +356,10 @@ def _masked_step_bwd_kernel(ops_ref, params_ref, img_ref, mask_ref, g_ref,
     b = pl.program_id(0)
     op = ops_ref[b, 0]
     p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
-    m = mask_ref[0, 0]
-
-    out, vjp = jax.vjp(lambda im, pl_: _apply_step(op, im, pl_, m),
-                       img_ref[0], p)
-    del out
-    d_img, d_p = vjp(g_ref[0])
-    dimg_ref[0] = d_img
+    dimg_ref[0] = g_ref[0]
     for j in range(MAX_PARAM):
-        dp_ref[0, 0, j] = d_p[j]
+        dp_ref[0, 0, j] = 0.0
+    _bwd_branches(op, p, mask_ref[0, 0], img_ref, g_ref, dimg_ref, dp_ref)
 
 
 def _step_bwd(imgs, op_slots, params, g, mask, interpret):
