@@ -297,12 +297,12 @@ def main():
     # HBM roofline (VERDICT r2 item 8): the kernel's traffic contract is
     # ONE read + ONE write of the batch per chain call (image resident in
     # VMEM across all K steps), so the bandwidth-bound speed of light is
-    # peak_HBM / (2 * batch_bytes) chain calls/s. The measured fraction
-    # is small BY DESIGN: the op branches are VPU-compute-bound
-    # (cos/curve-segment math, ROADMAP §6's measured decomposition), so
-    # the chain sits far left of the roofline ridge — the number says how
-    # much faster a pure-bandwidth executor could ever be, not that DMA
-    # is wasted (marginal DMA measures ~220 GB/s, ROADMAP.md:73).
+    # peak_HBM / (2 * batch_bytes) chain calls/s. A pure-copy kernel on
+    # this pipeline measures 2.5 ms/call (~320 GB/s effective through
+    # the grid), so the practical ceiling is ~255k ops/s; the r4 kernel
+    # (unit-switch dispatch, min-form curves, poly cos — see
+    # ops/pallas_fused.py) runs within ~2x of that, VPU-bound in the
+    # curve/contrast branches (scripts/kernel_probe*.py decomposition).
     hbm_gbps, _ = _device_peaks()
     if hbm_gbps:
         io_bytes = 2 * float(np.prod(imgs.shape)) * 4

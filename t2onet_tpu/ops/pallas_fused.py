@@ -84,29 +84,36 @@ def _contrast(img, p):
     return (1.0 - p[0]) * img + p[0] * cimg
 
 
-def _tone(img, p):
+def _curve_1ch(x, p, off=0):
+    """S-step monotone curve in min-form: with t = S*x and x in [0, 1],
+
+        sum_i p_i * clip(x - i/S, 0, 1/S) * S/csum
+          == a*x - sum_{j=1..S-1} b_j * min(x, j/S)
+
+    where a = S*p_{S-1}/csum, b_j = S*(p_j - p_{j-1})/csum — EXACT in real
+    arithmetic (clip(t-i,0,1) telescopes into relu(t-j) differences and
+    relu(t-j) = t - min(t,j)). 2 VPU passes per knot instead of the
+    segment form's 4-5 (sub+clamp+clamp+fma); the a/b_j reductions are
+    scalar (SMEM) math, off the vector unit entirely."""
+    S = CURVE_STEPS
     csum = 1e-10
-    for i in range(CURVE_STEPS):
-        csum = csum + p[i]
-    total = jnp.zeros_like(img)
-    for i in range(CURVE_STEPS):
-        total = total + jnp.clip(img - i / CURVE_STEPS, 0.0,
-                                 1.0 / CURVE_STEPS) * p[i]
-    return total * (CURVE_STEPS / csum)
+    for i in range(S):
+        csum = csum + p[off + i]
+    s = S / csum
+    out = (s * p[off + S - 1]) * x
+    for j in range(1, S):
+        out = out - (s * (p[off + j] - p[off + j - 1])) * jnp.minimum(
+            x, j / S)
+    return out
+
+
+def _tone(img, p):
+    return _curve_1ch(img, p)
 
 
 def _color(img, p):
-    outs = []
-    for c in range(3):
-        csum = 1e-10
-        for i in range(CURVE_STEPS):
-            csum = csum + p[c * CURVE_STEPS + i]
-        total = jnp.zeros_like(img[c])
-        for i in range(CURVE_STEPS):
-            total = total + jnp.clip(img[c] - i / CURVE_STEPS, 0.0,
-                                     1.0 / CURVE_STEPS) * p[c * CURVE_STEPS + i]
-        outs.append(total * (CURVE_STEPS / csum))
-    return jnp.stack(outs)
+    return jnp.stack([_curve_1ch(img[c], p, off=c * CURVE_STEPS)
+                      for c in range(3)])
 
 
 def _shift_zero(x, dy, dx):
@@ -189,18 +196,21 @@ def _apply_step(op, img, plist, m):
     return jnp.where(op == 0, img, out)
 
 
-def _run_branches(op, out_ref, params_fn, m, use_roll):
+def _run_step(op, out_ref, params_fn, m, use_roll):
     """One chain step, in place on the VMEM-resident out_ref tile.
 
-    Each non-identity branch is a `pl.when(op == slot)` region that reads
-    the tile, applies its op + optional mask blend + clamp, and stores
-    back — so a step costs ONLY the taken branch. The previous
-    `lax.switch` design carried the (3,H,W) tile as an if-else VALUE,
-    which Mosaic lowers with a full tile copy per nested-if level
-    (~0.58 ms/step/level at b128 512px, measured: the param-free `white`
-    branch at slot 8 cost as much as the 32-pass tone curve). The
-    identity slot writes nothing — exactly `_apply_step`'s
-    where(op == 0, img, ...) semantics (no mask blend, no clamp).
+    ONE `lax.switch` over unit-returning branches that read the tile,
+    apply their op + optional mask blend + clamp, and store back — so a
+    step costs the taken branch plus one scalar dispatch. Two designs
+    measured and rejected on-chip (b128 512px, scripts/kernel_probe*.py):
+    a VALUE-carrying `lax.switch` (Mosaic copies the (3,H,W) tile per
+    nested-if level: param-free `white` at slot 8 cost as much as the
+    full tone curve), and a chain of 7 `pl.when` regions each
+    read-modify-writing the tile (a flat ~18 ms/call floor even with no
+    branch taken; untaken store-only regions measure free, so it is the
+    guarded RMW chain that kills the pipeline). The identity slots write
+    nothing — exactly the reference's special-token semantics (no mask
+    blend, no clamp).
     """
     sharp = _sharpness_roll if use_roll else _sharpness
 
@@ -209,14 +219,20 @@ def _run_branches(op, out_ref, params_fn, m, use_roll):
             out = out * m[None] + img * (1.0 - m[None])
         return jnp.clip(out, 0.0, 1.0)
 
-    for slot, branch in [(1, _brightness), (2, _contrast), (3, _saturation),
-                         (4, _color), (6, _tone), (7, sharp), (8, _white)]:
-        @pl.when(op == slot)
-        def _(branch=branch):
+    def mk(branch):
+        def go():
             img = out_ref[0]
             out_ref[0] = finish(branch(img, params_fn()), img)
+        return go
+
+    def noop():
+        pass
+
     # slots 0 (special tokens) and 5 (inpaint: pluggable backend runs
     # outside the kernel) are identity: no write.
+    jax.lax.switch(op, [noop, mk(_brightness), mk(_contrast),
+                        mk(_saturation), mk(_color), noop, mk(_tone),
+                        mk(sharp), mk(_white)])
 
 
 def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps,
@@ -227,9 +243,9 @@ def _chain_kernel(ops_ref, params_ref, img_ref, out_ref, *, n_steps,
     def step(k, carry):
         # dynamic-k SMEM scalar reads; branch bodies are emitted ONCE
         # (a fori_loop over steps keeps Mosaic compile time flat in K)
-        _run_branches(ops_ref[b, k], out_ref,
-                      lambda: [params_ref[b, k, j]
-                               for j in range(MAX_PARAM)], None, use_roll)
+        _run_step(ops_ref[b, k], out_ref,
+                  lambda: [params_ref[b, k, j]
+                           for j in range(MAX_PARAM)], None, use_roll)
         return carry
 
     jax.lax.fori_loop(0, n_steps, step, 0)
@@ -245,9 +261,9 @@ def _masked_chain_kernel(ops_ref, params_ref, img_ref, mask_ref, out_ref, *,
     out_ref[0] = img_ref[0]
 
     def step(k, carry):
-        _run_branches(ops_ref[b, k], out_ref,
-                      lambda: [params_ref[b, k, j]
-                               for j in range(MAX_PARAM)], m, use_roll)
+        _run_step(ops_ref[b, k], out_ref,
+                  lambda: [params_ref[b, k, j]
+                           for j in range(MAX_PARAM)], m, use_roll)
         return carry
 
     jax.lax.fori_loop(0, n_steps, step, 0)
@@ -310,23 +326,18 @@ def fused_chain(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _bwd_branches(op, p, m, img_ref, g_ref, dimg_ref, dp_ref):
-    """Per-branch guarded VJP: only the SELECTED branch's backward runs.
+    """Switch-dispatched VJP: only the SELECTED branch's backward runs.
 
-    jax.vjp is applied *inside* each `pl.when(op == slot)` region to that
+    jax.vjp is applied *inside* each unit-returning switch branch to that
     branch's step math (branch -> mask blend -> clamp) — linearization
-    happens at trace time, so each region lowers to ordinary elementwise
+    happens at trace time, so each branch lowers to ordinary elementwise
     math + full-plane reductions (one scalar per parameter), with the
-    tile resident in VMEM. Guarded regions replace the old value-carrying
-    `lax.switch` (which copied the tile per nested-if level). Defaults
-    written by the caller cover the identity slots 0/5: d(img) = g,
-    d(p) = 0 — exact, since img is already in [0,1] so the clamp is
-    gradient-transparent there.
+    tile resident in VMEM, and the switch carries NO value (a
+    value-carrying switch makes Mosaic copy the tile per nested-if
+    level; see `_run_step`).
     """
-    for slot, branch in [(1, _brightness), (2, _contrast), (3, _saturation),
-                         (4, _color), (6, _tone), (7, _sharpness),
-                         (8, _white)]:
-        @pl.when(op == slot)
-        def _(branch=branch):
+    def mk(branch):
+        def go():
             def f(im, ps):
                 out = branch(im, ps)
                 if m is not None:
@@ -339,15 +350,24 @@ def _bwd_branches(op, p, m, img_ref, g_ref, dimg_ref, dp_ref):
             dimg_ref[0] = d_img
             for j in range(MAX_PARAM):
                 dp_ref[0, 0, j] = d_p[j]
+        return go
+
+    def ident():
+        # slots 0/5: step is a gradient-transparent pass-through (img is
+        # already in [0,1] so the clamp passes the cotangent unchanged)
+        dimg_ref[0] = g_ref[0]
+        for j in range(MAX_PARAM):
+            dp_ref[0, 0, j] = 0.0
+
+    jax.lax.switch(op, [ident, mk(_brightness), mk(_contrast),
+                        mk(_saturation), mk(_color), ident, mk(_tone),
+                        mk(_sharpness), mk(_white)])
 
 
 def _step_bwd_kernel(ops_ref, params_ref, img_ref, g_ref, dimg_ref, dp_ref):
     b = pl.program_id(0)
     op = ops_ref[b, 0]
     p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
-    dimg_ref[0] = g_ref[0]                      # identity-slot default
-    for j in range(MAX_PARAM):
-        dp_ref[0, 0, j] = 0.0
     _bwd_branches(op, p, None, img_ref, g_ref, dimg_ref, dp_ref)
 
 
@@ -356,9 +376,6 @@ def _masked_step_bwd_kernel(ops_ref, params_ref, img_ref, mask_ref, g_ref,
     b = pl.program_id(0)
     op = ops_ref[b, 0]
     p = [params_ref[b, 0, j] for j in range(MAX_PARAM)]
-    dimg_ref[0] = g_ref[0]
-    for j in range(MAX_PARAM):
-        dp_ref[0, 0, j] = 0.0
     _bwd_branches(op, p, mask_ref[0, 0], img_ref, g_ref, dimg_ref, dp_ref)
 
 

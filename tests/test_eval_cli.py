@@ -7,6 +7,7 @@ test_variance probe (test_seq2seqL1.py:99-142), and the HTML gallery
 with attention heatmaps — none of which a unit test exercises together.
 """
 
+import pytest
 import os
 
 TINY = ["--cpu", "--synthetic", "--synthetic_n", "8",
@@ -38,6 +39,7 @@ def test_test_fivek_cli_synthetic(tmp_path, capsys):
     assert "input" in html and "img" in html
 
 
+@pytest.mark.slow
 def test_test_fivek_cli_restores_trained_checkpoint(tmp_path, capsys):
     """train -> eval round trip through the CLIs: the eval CLI must load
     the checkpoint the trainer wrote (not evaluate a random init)."""

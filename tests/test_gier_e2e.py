@@ -62,6 +62,7 @@ def gier_root(tmp_path, rng):
     return str(d), str(vdir), str(act_dir)
 
 
+@pytest.mark.slow
 def test_gier_act_dataset_and_train_step(gier_root):
     import jax
     import jax.numpy as jnp
@@ -171,6 +172,7 @@ def gier_local_root(tmp_path, rng):
     return str(d), str(vdir), str(act_dir)
 
 
+@pytest.mark.slow
 def test_gier_local_mask_training_end_to_end(gier_local_root):
     """VERDICT #6: --is_load_mask threads gt masks dataset -> trainer.
     A local op must leave pixels OUTSIDE the mask untouched while the

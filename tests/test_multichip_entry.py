@@ -6,6 +6,7 @@ GSPMD cross-module all-to-all -> CPU collective deadlock, rc=134); this
 test keeps it from silently rotting again.
 """
 
+import pytest
 import os
 import sys
 
@@ -13,6 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # Run in a SUBPROCESS: an XLA CPU collective rendezvous timeout aborts
     # the process outright (this is a 1-core box — 8 virtual devices under

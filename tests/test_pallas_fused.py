@@ -1,6 +1,7 @@
 """Fused Pallas chain kernel vs the jnp operator bank (interpret mode on
 CPU; the same comparison runs on real TPU in bench/verify flows)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -130,6 +131,7 @@ def test_fused_step_grads_match_bank():
         assert float(jnp.abs(gp2[np.asarray(ids) < 3]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_episode_step_pallas_exec_trains():
     """make_episode_step(pallas_exec=True) must run and update params
     through the fused-step custom VJP (interpret mode on CPU)."""

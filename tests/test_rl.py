@@ -71,6 +71,7 @@ def test_rl_step_runs_and_updates(setup):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_rl_step_sharded(setup):
     from t2onet_tpu.parallel.mesh import make_mesh, shard_batch
 
