@@ -84,16 +84,16 @@ def ref_plan_pair(executor, img_x: np.ndarray, img_y: np.ndarray,
     ty = torch.from_numpy(img_y)
     t0 = time.time()
     with torch.no_grad():
-        actions, _ = ref_beam_search(
+        actions, imgs = ref_beam_search(
             tx, ty, None, executor, None, beam_size, REF_OPERATIONS,
             REF_OP_NAMES, max_step or len(REF_OPERATIONS), err, "L1",
             "Nelder-Mead", replace=False)
     dt = time.time() - t0
     best = actions[0]
     if best:
-        return float(best[-1][2]), [a[0] for a in best], dt
+        return float(best[-1][2]), [a[0] for a in best], dt, actions, imgs
     init = float((tx - ty).norm(1) / tx.numel())
-    return init, [], dt
+    return init, [], dt, actions, imgs
 
 
 def our_plan_pair(img_x: np.ndarray, img_y: np.ndarray, beam_size=3,
@@ -103,7 +103,7 @@ def our_plan_pair(img_x: np.ndarray, img_y: np.ndarray, beam_size=3,
     from t2onet_tpu.planner.beam import beam_search, init_distance
 
     t0 = time.time()
-    actions, _ = beam_search(
+    actions, imgs = beam_search(
         img_x, img_y, beam_size=beam_size, operations=REF_OPERATIONS,
         max_step=max_step or len(REF_OPERATIONS), err=err, mode="plain",
         n_starts=n_starts, n_iters=n_iters, lr=lr, seed=seed,
@@ -111,13 +111,13 @@ def our_plan_pair(img_x: np.ndarray, img_y: np.ndarray, beam_size=3,
     dt = time.time() - t0
     best = actions[0]
     if best:
-        return float(best[-1][2]), [a[0] for a in best], dt
-    return init_distance(img_x, img_y), [], dt
+        return float(best[-1][2]), [a[0] for a in best], dt, actions, imgs
+    return init_distance(img_x, img_y), [], dt, actions, imgs
 
 
 def make_pairs(n: int, img_size: int, data_dir: str = None, phase="train"):
-    """(input, target) pairs: a staged workspace if given, else the
-    prepare_real_fivek synthetic generator (same edit family)."""
+    """(input, target, request) triples: a staged workspace if given, else
+    the prepare_real_fivek synthetic generator (same edit family)."""
     out = []
     if data_dir:
         from t2onet_tpu.data.fivek import FiveK
@@ -126,9 +126,9 @@ def make_pairs(n: int, img_size: int, data_dir: str = None, phase="train"):
                    os.path.join(data_dir, "FiveK", "annotations"),
                    phase, 1, img_size, eval_img_mode="train_size")
         for i in range(min(n, len(ds))):
-            img_x, img_y, _, _ = ds[i]
+            img_x, img_y, _, req = ds[i]
             out.append((img_x[None].astype(np.float32),
-                        img_y[None].astype(np.float32)))
+                        img_y[None].astype(np.float32), req))
         return out
     from scripts.prepare_real_fivek import synth_input, synth_output
 
@@ -136,8 +136,40 @@ def make_pairs(n: int, img_size: int, data_dir: str = None, phase="train"):
         inp = synth_input(f"pair{i}_O.jpg", img_size).astype(np.float32)
         tgt = synth_output(inp, f"pair{i}_E.jpg").astype(np.float32)
         out.append((inp.transpose(2, 0, 1)[None],
-                    tgt.transpose(2, 0, 1)[None]))
+                    tgt.transpose(2, 0, 1)[None], f"edit pair {i}"))
     return out
+
+
+def _to_plain(actions):
+    """Planner actions -> JSON-serializable [[op, [params...], dist]...]."""
+    plain = []
+    for seq in actions:
+        pseq = []
+        for (name, params, dist) in seq:
+            arr = np.asarray(params, np.float64).ravel().tolist()
+            pseq.append([name, arr, float(dist)])
+        plain.append(pseq)
+    return plain
+
+
+def _save_item(save_dir, which, phase, i, req, ix, iy, actions, imgs):
+    """Write one side's plan in the dataset layout (reference schema:
+    {phase}{i}/{i:05d}.json + edit{k}.jpg of the top beam) so the
+    head-to-head pairs double as training data for the downstream
+    comparison (VERDICT r3 #6)."""
+    from t2onet_tpu.evals.visualize import save_img
+    from t2onet_tpu.planner.beam import init_distance
+
+    item_dir = os.path.join(save_dir, which, f"{phase}{i}")
+    os.makedirs(item_dir, exist_ok=True)
+    top = imgs[0] if imgs else []
+    for k, img in enumerate(top):
+        save_img(np.asarray(img)[0], os.path.join(item_dir, f"edit{k}.jpg"))
+    info = {"request": req,
+            "init distance": float(init_distance(ix, iy)),
+            "operation sequence": _to_plain(actions)}
+    with open(os.path.join(item_dir, f"{i:05d}.json"), "w") as f:
+        json.dump(info, f)
 
 
 def run_headtohead(ref_dir: str = "/root/reference", pairs: int = 32,
@@ -145,7 +177,8 @@ def run_headtohead(ref_dir: str = "/root/reference", pairs: int = 32,
                    beam_size: int = 3, err: float = 1e-2,
                    max_step: int = None, n_iters: int = 100,
                    n_starts: int = 2, tol: float = 5e-3,
-                   platform: str = "cpu", verbose: bool = True):
+                   platform: str = "cpu", verbose: bool = True,
+                   save_dir: str = None, log_every_row: str = None):
     """Returns aggregate metrics; raises AssertionError if our planner's
     solutions are meaningfully worse than Nelder-Mead's."""
     import jax
@@ -160,18 +193,26 @@ def run_headtohead(ref_dir: str = "/root/reference", pairs: int = 32,
     data = make_pairs(pairs, img_size, data_dir)
 
     rows = []
-    for i, (ix, iy) in enumerate(data):
-        rd, rops, rt = ref_plan_pair(executor, ix, iy, beam_size, err,
-                                     max_step)
-        od, oops, ot = our_plan_pair(ix, iy, beam_size, err, max_step,
-                                     n_starts=n_starts, n_iters=n_iters,
-                                     seed=i)
+    for i, (ix, iy, req) in enumerate(data):
+        rd, rops, rt, racts, rimgs = ref_plan_pair(
+            executor, ix, iy, beam_size, err, max_step)
+        od, oops, ot, oacts, oimgs = our_plan_pair(
+            ix, iy, beam_size, err, max_step, n_starts=n_starts,
+            n_iters=n_iters, seed=i)
+        if save_dir:
+            _save_item(save_dir, "ref", "train", i, req, ix, iy, racts,
+                       rimgs)
+            _save_item(save_dir, "ours", "train", i, req, ix, iy, oacts,
+                       oimgs)
         rows.append(dict(ref_dist=rd, our_dist=od, ref_ops=rops,
                          our_ops=oops, ref_s=rt, our_s=ot))
+        if log_every_row:
+            with open(log_every_row, "a") as f:
+                f.write(json.dumps(rows[-1]) + "\n")
         if verbose:
             print(f"[planner] pair {i:3d}: ref {rd:.5f} ({rt:5.1f}s, "
                   f"{'-'.join(rops) or 'none'}) | ours {od:.5f} "
-                  f"({ot:5.1f}s, {'-'.join(oops) or 'none'})")
+                  f"({ot:5.1f}s, {'-'.join(oops) or 'none'})", flush=True)
 
     ref_d = np.array([r["ref_dist"] for r in rows])
     our_d = np.array([r["our_dist"] for r in rows])
@@ -215,10 +256,18 @@ def main():
     p.add_argument("--tol", type=float, default=5e-3)
     p.add_argument("--platform", default="cpu")
     p.add_argument("--out_json", default=None)
+    p.add_argument("--save_dir", default=None,
+                   help="write both sides' plans in the dataset layout "
+                        "({save_dir}/{ref,ours}/train{i}/...) for the "
+                        "downstream training comparison")
+    p.add_argument("--row_log", default=None,
+                   help="append one JSON line per pair (crash-resumable "
+                        "progress record)")
     a = p.parse_args()
     m = run_headtohead(a.reference, a.pairs, a.img_size, a.data_dir,
                        a.beam_size, a.err, a.max_step, a.n_iters,
-                       a.n_starts, a.tol, a.platform)
+                       a.n_starts, a.tol, a.platform, save_dir=a.save_dir,
+                       log_every_row=a.row_log)
     if a.out_json:
         with open(a.out_json, "w") as f:
             json.dump(m, f, indent=2)
