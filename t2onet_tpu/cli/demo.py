@@ -47,6 +47,18 @@ def _run_program(a, img, out_dir):
         from t2onet_tpu.models.inpaint import load_inpaint, make_inpaint_fn
 
         inpaint_fn = make_inpaint_fn(*load_inpaint(a.inpaint_ckpt), mask)
+    if a.edgeconnect_dir:
+        if mask is None:
+            raise SystemExit("--edgeconnect_dir needs --mask (the hole)")
+        if inpaint_fn is not None:
+            raise SystemExit("--edgeconnect_dir and --inpaint_ckpt are "
+                             "mutually exclusive inpaint backends")
+        from t2onet_tpu.models.edgeconnect import load_edgeconnect
+
+        inpaint_fn = load_edgeconnect(
+            os.path.join(a.edgeconnect_dir, "EdgeModel_gen.pth"),
+            os.path.join(a.edgeconnect_dir, "InpaintingModel_gen.pth"),
+            np.asarray(mask)[0, 0])
 
     save_img(img[0], os.path.join(out_dir, "input.jpg"))
     cur, steps = jnp.asarray(img), []
@@ -85,6 +97,12 @@ def main(argv=None):
     p.add_argument("--mask", default=None,
                    help="grayscale mask image for --program: nonzero = "
                         "edit region (local ops / the inpaint hole)")
+    p.add_argument("--edgeconnect_dir", default=None,
+                   help="dir holding EdgeConnect EdgeModel_gen.pth + "
+                        "InpaintingModel_gen.pth (the reference "
+                        "InpaintOperator's pretrained backend, "
+                        "models/operators.py:631-649) — converted on "
+                        "load, used as the inpaint filler")
     p.add_argument("--inpaint_ckpt", default=None,
                    help="trained filler (cli.train_inpaint run dir's "
                         "inpaint_model): --program inpaint steps FILL the "
