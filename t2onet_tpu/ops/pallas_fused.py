@@ -45,16 +45,18 @@ def _brightness(img, p):
 
 
 def _saturation(img, p):
-    """RGB-domain exact form of the HSV saturation scale, refactored to a
-    SINGLE division (VPU divides are multi-pass): with s = d/(v+e1),
-    d = v-min, the bank's clip(s(1+p),0,1)/(s+e2) equals
-    clip(d(1+p), 0, v+e1) / (d + e2(v+e1)) exactly in real arithmetic."""
+    """RGB-domain exact form of the HSV saturation scale (bank form,
+    TWO divisions). A single-division refactor
+    (clip(d(1+p),0,v+e1) / (d + e2(v+e1))) is algebraically exact but
+    its VJP squares the denominator, and at black pixels (v = d = 0)
+    that square is (1e-20)^2 — below the f32 normal range — so the
+    quotient rule evaluates 0/0 = nan. Caught as data-dependent nan
+    grads on real FiveK images (round 4); the bank form's denominators
+    (1e-8, 1e-12) square to normal numbers."""
     v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
     mn = jnp.minimum(jnp.minimum(img[0], img[1]), img[2])
-    d = v - mn
-    ve = v + 1e-8
-    num = jnp.clip(d * (1.0 + p[0]), 0.0, ve)
-    ratio = num / (d + 1e-12 * ve)
+    s = (v - mn) / (v + 1e-8)
+    ratio = jnp.clip(s * (1.0 + p[0]), 0.0, 1.0) / (s + 1e-12)
     return v[None] - ratio[None] * (v[None] - img)
 
 
@@ -348,16 +350,19 @@ def _bwd_branches(op, p, m, img_ref, g_ref, dimg_ref, dp_ref):
             del out
             d_img, d_p = vjp(g_ref[0])
             dimg_ref[0] = d_img
-            for j in range(MAX_PARAM):
-                dp_ref[0, 0, j] = d_p[j]
+            # ONE vector store: dp_ref is a VMEM (1,1,24) block — scalar
+            # stores inside a switch branch (the old SMEM design) lower
+            # to garbage on TPU (nan grads; caught by the real-data
+            # training run, reproduced at 64px — Mosaic only supports
+            # whole-vector stores under branch control flow)
+            dp_ref[0, 0] = jnp.stack(d_p)
         return go
 
     def ident():
         # slots 0/5: step is a gradient-transparent pass-through (img is
         # already in [0,1] so the clamp passes the cotangent unchanged)
         dimg_ref[0] = g_ref[0]
-        for j in range(MAX_PARAM):
-            dp_ref[0, 0, j] = 0.0
+        dp_ref[0, 0] = jnp.zeros((MAX_PARAM,), jnp.float32)
 
     jax.lax.switch(op, [ident, mk(_brightness), mk(_contrast),
                         mk(_saturation), mk(_color), ident, mk(_tone),
@@ -402,10 +407,11 @@ def _step_bwd(imgs, op_slots, params, g, mask, interpret):
         out_specs=[
             pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # 24 scalars per image: SMEM, with a unit axis so the trailing
-            # block dims equal the array dims (Mosaic's tileability check)
+            # 24 param-grads per image: VMEM, written as ONE (24,)
+            # vector inside the selected switch branch (SMEM scalar
+            # stores under branch control flow lower to garbage on TPU)
             pl.BlockSpec((1, 1, MAX_PARAM), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
         ],
     )
     d_img, d_params = pl.pallas_call(
