@@ -188,6 +188,13 @@ def run_headtohead(ref_dir: str = "/root/reference", pairs: int = 32,
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass
+    # persistent compile cache: beam-fit shapes vary per (step, beam,
+    # remaining-op) configuration and each XLA compile is tens of seconds
+    # on this host — without the cache the MEAN s/pair is dominated by
+    # one-time compiles (r4 200-pair run: median 3.4 s, mean 72 s)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_t2onet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     executor = build_reference_executor(ref_dir)
     data = make_pairs(pairs, img_size, data_dir)
