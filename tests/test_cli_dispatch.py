@@ -34,6 +34,7 @@ def test_dispatcher_commands_resolve():
         assert callable(mod.main)
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path):
     """model.pth -> cli.convert -> run dir restorable by CheckpointManager,
     with the exact params convert_state_dict produces."""

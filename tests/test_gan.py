@@ -62,6 +62,7 @@ def test_gan_and_feature_losses(disc_and_vars):
     assert 0.0 <= s <= 1.0
 
 
+@pytest.mark.slow
 def test_seq2seq_gan_losses_grads(disc_and_vars):
     disc, v = disc_and_vars
     losses = Seq2SeqGANLosses(n_layers=3, num_D=2)

@@ -2,6 +2,7 @@
 operators.py:57-60, 113-121) and the discrete classification mode
 (discrete_param / discrete_step, operators.py:50-54, 146-175)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,6 +169,7 @@ def test_gt_param_bins_nearest():
     assert not bool(sup[2])                         # special token
 
 
+@pytest.mark.slow
 def test_discrete_supervised_step_trains_heads():
     """--discrete_param training must move the bin logits (the reference's
     discrete mode has no gradient path; ours adds a bin cross-entropy)."""
