@@ -45,18 +45,22 @@ def _brightness(img, p):
 
 
 def _saturation(img, p):
-    """RGB-domain exact form of the HSV saturation scale (bank form,
-    TWO divisions). A single-division refactor
-    (clip(d(1+p),0,v+e1) / (d + e2(v+e1))) is algebraically exact but
-    its VJP squares the denominator, and at black pixels (v = d = 0)
-    that square is (1e-20)^2 — below the f32 normal range — so the
-    quotient rule evaluates 0/0 = nan. Caught as data-dependent nan
-    grads on real FiveK images (round 4); the bank form's denominators
-    (1e-8, 1e-12) square to normal numbers."""
+    """RGB-domain exact form of the HSV saturation scale, SINGLE
+    division: with s = d/(v+e1), d = v-min, the bank's
+    clip(s(1+p),0,1)/(s+e2) equals clip(d(1+p),0,v+e1)/(d + e2(v+e1))
+    exactly in real arithmetic. The naive single-div VJP squares the
+    denominator — at black pixels (v = d = 0) that square is (1e-20)^2,
+    below the f32 normal range, and the quotient rule evaluates
+    0/0 = nan (caught on real FiveK images, round 4). Fix: scale num
+    AND den by 2^20 — an EXACT fp scaling (exponent shift; the quotient
+    is bit-identical) that lifts den^2 to ~1e-28, safely normal."""
+    S = 1048576.0                                  # 2^20
     v = jnp.maximum(jnp.maximum(img[0], img[1]), img[2])
     mn = jnp.minimum(jnp.minimum(img[0], img[1]), img[2])
-    s = (v - mn) / (v + 1e-8)
-    ratio = jnp.clip(s * (1.0 + p[0]), 0.0, 1.0) / (s + 1e-12)
+    d = v - mn
+    ve = v + 1e-8
+    num = jnp.clip(d * (1.0 + p[0]), 0.0, ve) * S
+    ratio = num / (d * S + (1e-12 * S) * ve)
     return v[None] - ratio[None] * (v[None] - img)
 
 
