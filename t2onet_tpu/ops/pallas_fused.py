@@ -106,6 +106,9 @@ def _curve_1ch(x, p, off=0):
     for i in range(S):
         csum = csum + p[off + i]
     s = S / csum
+    # single accumulator chain: a 2-chain ILP split was measured SLOWER
+    # (138.7k vs 142.0k ops/s mixed) — Mosaic already pipelines across
+    # the (8,128) tile chunks, and the extra init+final-add costs more
     out = (s * p[off + S - 1]) * x
     for j in range(1, S):
         out = out - (s * (p[off + j] - p[off + j - 1])) * jnp.minimum(
