@@ -302,8 +302,9 @@ def make_random_inception_pth(path: str, seed: int = 0) -> None:
     model = InceptionV3Features()
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.zeros((1, 3, 299, 299), jnp.float32))
-    # BN running stats init to mean 0 / var 1; keep them but randomize
-    # convs' scales a little so features are non-degenerate.
+    # BN running stats init to mean 0 / var 1; conv kernels keep the
+    # flax lecun-normal init (non-degenerate features without extra
+    # randomization).
     torch.save(export_torchvision_inception(
         jax.tree.map(np.asarray, dict(variables))), path)
 

@@ -242,24 +242,37 @@ def make_edgeconnect_inpaint_fn(edge_vars, inpaint_vars, mask: np.ndarray,
         np.asarray(mask).shape[-2:])                      # (H, W)
 
     @jax.jit
-    def run(ein, iin_rgb):
+    def run(ein, iin_rgb, e_canny):
         edges = edge_model.apply(edge_vars, ein)
+        # EdgeConnect's eval/sample paths composite predicted edges with
+        # the known-region canny edges (pred*mask + canny*(1-mask)) before
+        # inpainting — known-region edge structure comes from canny.
+        mm = jnp.asarray(m)[None, :, :, None]
+        edges = edges * mm + e_canny * (1.0 - mm)
         x = jnp.concatenate([iin_rgb, edges], axis=-1)
         return inp_model.apply(inpaint_vars, x), edges
 
     def inpaint_fn(img):
         arr = np.asarray(img, np.float32)                 # (B,3,H,W)
         b = arr.shape[0]
-        gray = (0.299 * arr[:, 0] + 0.587 * arr[:, 1]
-                + 0.114 * arr[:, 2])                      # (B,H,W)
+        # skimage rgb2gray (Rec. 709 luma) — what EdgeConnect feeds the
+        # edge model, NOT ITU-R 601.
+        gray = (0.2125 * arr[:, 0] + 0.7154 * arr[:, 1]
+                + 0.0721 * arr[:, 2])                     # (B,H,W)
         keep = 1.0 - m
-        eins, iins = [], []
+        eins, iins, ecs = [], [], []
         for i in range(b):
             e = canny_edges(gray[i], sigma) * keep
-            eins.append(np.stack([gray[i] * keep, e, m], -1))
-            iins.append(arr[i].transpose(1, 2, 0) * keep[..., None])
+            # EdgeConnect computes images_masked = img*(1-mask) + mask:
+            # the hole is filled WHITE (1.0), matching the pretrained
+            # models' input distribution.
+            eins.append(np.stack([gray[i] * keep + m, e, m], -1))
+            iins.append(arr[i].transpose(1, 2, 0) * keep[..., None]
+                        + m[..., None])
+            ecs.append(e[..., None])
         out, _ = run(jnp.asarray(np.stack(eins)),
-                     jnp.asarray(np.stack(iins)))
+                     jnp.asarray(np.stack(iins)),
+                     jnp.asarray(np.stack(ecs)))
         out = jnp.transpose(out, (0, 3, 1, 2))
         comp = out * m[None, None] + jnp.asarray(arr) * (1.0 - m[None, None])
         return jnp.clip(comp, 0.0, 1.0)

@@ -473,9 +473,11 @@ def fused_step(imgs: jax.Array, op_slots: jax.Array, params: jax.Array,
     backward is itself a Pallas kernel (`_step_bwd_kernel`): both passes
     compute only the per-image SELECTED branch, unlike the jnp bank
     (`ops.bank.execute_bank`) which materializes all 8 op outputs and
-    blends by one-hot. Gradients match the bank's exactly (same
-    blend-then-clamp + identity-skip semantics; pinned in
-    tests/test_pallas_fused.py). No inpaint_fn support (slot 5 is
+    blends by one-hot. Gradients match the bank's (same blend-then-clamp
+    + identity-skip semantics; pinned in tests/test_pallas_fused.py) up
+    to one harmless subgradient choice: at exactly-black pixels (x == 0)
+    the min-form curve's d/dx is S*p0/csum where the bank's clip-segment
+    form tie-splits to half that; interior knots x = j/S agree. No inpaint_fn support (slot 5 is
     identity), mask receives no gradient (it is ground-truth data).
 
     :param imgs: (B, 3, H, W) f32 in [0, 1].
