@@ -10,8 +10,10 @@ does tiny list bookkeeping over <= beam_size sequences.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,33 +39,12 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
     Returns (params (N,C,24), dists (N,C), outs (N,C,3,H,W)) as numpy,
     plus the candidate op index per column.
     """
-    onehot_rows = []
+    op_slots = tuple(int(op) for op in op_slots)
     cand_ops = F.candidate_op_slots(op_slots, n_starts)
-    for op in cand_ops:
-        onehot_rows.append(np.eye(bank.N_OPS + 1, dtype=np.float32)[op + 1])
-    onehot = jnp.asarray(np.stack(onehot_rows))
     init = jnp.asarray(F.init_candidates(op_slots, n_starts, key=init_key))
     imgs = jnp.asarray(I_buff)
     n_real = imgs.shape[0]
-    masks = None
-    # a dict is one pair's {op: mask}; a list is per-row dicts. A list of
-    # all-EMPTY dicts means no local ops anywhere — skip the masked
-    # execute path instead of materializing an all-ones (N,C,1,H,W)
-    # tensor. (len(), not truthiness: op index 0 is a valid dict key.)
-    has_masks = (len(op_masks) > 0 if isinstance(op_masks, dict)
-                 else any(len(d) > 0 for d in op_masks)) \
-        if op_masks is not None else False
-    if has_masks:
-        h, w = I_buff.shape[-2:]
-
-        def cand_rows(d):
-            return np.stack([d.get(int(op), np.ones((1, h, w), np.float32))
-                             for op in cand_ops])
-
-        if isinstance(op_masks, dict):          # shared across rows (C,...)
-            masks = jnp.asarray(cand_rows(op_masks))
-        else:                                   # per-row list -> (N, C, ...)
-            masks = jnp.asarray(np.stack([cand_rows(d) for d in op_masks]))
+    masks = _op_mask_rows(op_masks, op_slots, I_buff.shape[-2:])
     if mesh is not None and score_fn is not None:
         # the mesh path pads/shards imgs but score_aux would stay unpadded
         # and unsharded — fail clearly instead of deep inside jit
@@ -88,22 +69,42 @@ def _fit_step(I_buff: np.ndarray, target, op_slots, n_starts, n_iters, lr,
         rep = NamedSharding(mesh, P())
         imgs = jax.device_put(imgs, bsh)
         target = jax.device_put(tgt_b, bsh)
-        onehot = jax.device_put(onehot, rep)
         init = jax.device_put(init, rep)
         if masks is not None:
             masks = jax.device_put(masks,
                                    bsh if masks.ndim == 5 else rep)
     if score_fn is not None:
-        params, dists = F.fit_op_params_scored(
-            imgs, onehot, init, score_fn, score_aux,
+        params, dists = F.fit_op_params_scored_sel(
+            imgs, init, op_slots, n_starts, score_fn, score_aux,
             n_iters=n_iters, lr=lr, masks=masks)
     else:
-        params, dists = F.fit_op_params(
-            imgs, jnp.asarray(target), onehot, init,
+        params, dists = F.fit_op_params_sel(
+            imgs, jnp.asarray(target), init, op_slots, n_starts,
             n_iters=n_iters, lr=lr, masks=masks, dist=dist_type)
-    outs = F.execute_candidates(imgs, onehot, params, masks)
+    outs = F.execute_candidates_sel(imgs, params, op_slots, n_starts, masks)
     return (np.asarray(params)[:n_real], np.asarray(dists)[:n_real],
             np.asarray(outs)[:n_real], cand_ops)
+
+
+def _op_mask_rows(op_masks, op_slots, hw):
+    """op_masks ({op: (1,H,W)} dict or per-row list of dicts) -> per-OP
+    mask tensor in the selected-fit layout: (n_ops, 1, H, W) shared or
+    (N, n_ops, 1, H, W) per row; None when no row has any local op.
+    (len(), not truthiness: op index 0 is a valid dict key.)"""
+    has_masks = (len(op_masks) > 0 if isinstance(op_masks, dict)
+                 else any(len(d) > 0 for d in op_masks)) \
+        if op_masks is not None else False
+    if not has_masks:
+        return None
+    h, w = hw
+
+    def rows(d):
+        return np.stack([d.get(int(op), np.ones((1, h, w), np.float32))
+                         for op in op_slots])
+
+    if isinstance(op_masks, dict):              # shared across rows
+        return jnp.asarray(rows(op_masks))
+    return jnp.asarray(np.stack([rows(d) for d in op_masks]))
 
 
 def normalize_dist_type(dist_type: str) -> str:
@@ -174,6 +175,10 @@ def beam_search(
     dist_type = normalize_dist_type(dist_type) if score_fn is None else "l1"
     if mode == "fixed":
         beam_size = 1
+    # device-side top-k selection needs a pixel distance (the scored
+    # mode's learned distance stays on the all-candidates path) and no
+    # eps randomization (which permutes over ALL candidates)
+    fused = mode in ("plain", "fixed") and score_fn is None
 
     min_dist = float("inf")
     sequences: List[Tuple[list, float]] = [([], float("inf"))]
@@ -203,44 +208,88 @@ def beam_search(
             inp_outs = filled
         fit_ops = [op for op in step_ops
                    if not (op == INPAINT and inp_outs is not None)]
-        if fit_ops:
-            params, dists, outs, cand_ops = _fit_step(
-                I_buff, I_gt, fit_ops, n_starts, n_iters, lr,
-                init_key=seed + step, op_masks=op_masks,
-                dist_type=dist_type, score_fn=score_fn,
-                score_aux=score_aux)
-        else:                                     # inpaint-only search
-            cand_ops = np.empty(0, np.int64)
+
+        n_beam = len(sequences)
+        used_by_beam = [set() if replace else
+                        {OP_NAMES.index(a[0]) for a in sequences[j][0]}
+                        for j in range(n_beam)]
 
         all_candidates, I_tmp = [], []
         no_update, finish = True, False
         tmp_min = []
-        for j in range(len(sequences)):
-            used = ([] if replace else
-                    [OP_NAMES.index(a[0]) for a in sequences[j][0]])
-            for op in step_ops:
-                if op in used:
-                    continue
-                if op == INPAINT and inp_outs is not None:
-                    dist = float(inp_dists[j])
-                    p_list = [0.0] * O.PARAM_COUNTS[op]
-                    out_img = inp_outs[j]
-                else:
-                    cols = np.where(cand_ops == op)[0]
-                    best = cols[int(np.argmin(dists[j, cols]))]
-                    dist = float(dists[j, best])
-                    k = O.PARAM_COUNTS[op]
-                    p_list = params[j, best, :k].tolist()
-                    out_img = outs[j, best]
-                accept = (dist < min_dist) if mode == "plain" else True
-                if accept:
-                    tmp_min.append(dist)
-                    seq = sequences[j][0] + [(OP_NAMES[op], p_list, dist)]
-                    all_candidates.append((seq, dist))
-                    I_tmp.append(out_img)
-                    no_update = False
-                    if dist < err:
-                        finish = True
+
+        def consider(j, op, dist, p_list, out_img):
+            nonlocal no_update, finish
+            accept = (dist < min_dist) if mode == "plain" else True
+            if accept:
+                tmp_min.append(dist)
+                seq = sequences[j][0] + [(OP_NAMES[op], p_list, dist)]
+                all_candidates.append((seq, dist))
+                I_tmp.append(out_img)
+                no_update = False
+                if dist < err:
+                    finish = True
+
+        if fused and fit_ops:
+            fos = tuple(int(op) for op in fit_ops)
+            allow = np.zeros((1, n_beam, len(fos)), bool)
+            for j in range(n_beam):
+                for i, op in enumerate(fos):
+                    allow[0, j, i] = op not in used_by_beam[j]
+            masks = _op_mask_rows(op_masks, fos, I_buff.shape[-2:])
+            thr = min_dist if mode == "plain" else float("inf")
+            k = min(beam_size, n_beam * len(fos))
+            sel_imgs, sel_d, sel_params, sel_beam, sel_pos = \
+                F.fit_select_step(
+                    jnp.asarray(I_buff)[None], jnp.asarray(I_gt),
+                    jnp.asarray(F.init_candidates(fos, n_starts,
+                                                  key=seed + step)),
+                    jnp.asarray(allow), jnp.asarray([thr], np.float32),
+                    fos, n_starts, k, n_iters=n_iters, lr=lr,
+                    dist=dist_type,
+                    masks=None if masks is None else masks[None])
+            sel_imgs, sel_d = np.asarray(sel_imgs[0]), np.asarray(sel_d[0])
+            sel_params, sel_beam = np.asarray(sel_params[0]), np.asarray(
+                sel_beam[0])
+            sel_pos = np.asarray(sel_pos[0])
+            for r in range(k):
+                if not np.isfinite(sel_d[r]):
+                    break
+                op = fos[int(sel_pos[r])]
+                consider(int(sel_beam[r]), op, float(sel_d[r]),
+                         sel_params[r, : O.PARAM_COUNTS[op]].tolist(),
+                         sel_imgs[r])
+            if inp_outs is not None:
+                for j in range(n_beam):
+                    if INPAINT not in used_by_beam[j]:
+                        consider(j, INPAINT, float(inp_dists[j]),
+                                 [0.0] * O.PARAM_COUNTS[INPAINT],
+                                 inp_outs[j])
+        else:
+            if fit_ops:
+                params, dists, outs, cand_ops = _fit_step(
+                    I_buff, I_gt, fit_ops, n_starts, n_iters, lr,
+                    init_key=seed + step, op_masks=op_masks,
+                    dist_type=dist_type, score_fn=score_fn,
+                    score_aux=score_aux)
+            else:                                 # inpaint-only search
+                cand_ops = np.empty(0, np.int64)
+            for j in range(n_beam):
+                for op in step_ops:
+                    if op in used_by_beam[j]:
+                        continue
+                    if op == INPAINT and inp_outs is not None:
+                        dist = float(inp_dists[j])
+                        p_list = [0.0] * O.PARAM_COUNTS[op]
+                        out_img = inp_outs[j]
+                    else:
+                        cols = np.where(cand_ops == op)[0]
+                        best = cols[int(np.argmin(dists[j, cols]))]
+                        dist = float(dists[j, best])
+                        kk = O.PARAM_COUNTS[op]
+                        p_list = params[j, best, :kk].tolist()
+                        out_img = outs[j, best]
+                    consider(j, op, dist, p_list, out_img)
         if tmp_min:
             min_dist = min(min_dist, min(tmp_min))
 
@@ -262,9 +311,17 @@ def beam_search(
 
 
 def _replay_images(I_0, actions, op_masks=None, inpaint_fn=None):
-    """Recompute per-step images for each surviving beam (host->device,
-    tiny). The reference keeps them alongside candidates; recomputing the
-    <= beam*step survivors costs less than hauling every candidate image."""
+    """Recompute per-step images for each surviving beam. The reference
+    keeps them alongside candidates; recomputing the <= beam*step
+    survivors costs less than hauling every candidate image.
+
+    Without an inpaint_fn every beam replays in ONE jitted scan + ONE
+    transfer (_replay_images_batch); the host-round-trip loop survives
+    only for inpaint steps (the filler runs host-side canny)."""
+    if inpaint_fn is None:
+        return _replay_images_batch(
+            np.asarray(I_0), [actions],
+            None if op_masks is None else [op_masks])[0]
     images = []
     for seq in actions:
         imgs = []
@@ -280,6 +337,97 @@ def _replay_images(I_0, actions, op_masks=None, inpaint_fn=None):
             imgs.append(np.asarray(cur))
         images.append(imgs)
     return images
+
+
+@functools.partial(jax.jit, static_argnames=("uint8_wire",))
+def _replay_scan(imgs0, slots, params, masks_all, uint8_wire=False):
+    """Replay padded op sequences on a batch of rows in one fused scan.
+
+    imgs0 (N, 3, H, W); slots (N, S) bank slot ids (0 = identity
+    padding); params (N, S, 24); masks_all optional (N, N_OPS+1, 1, H, W)
+    per-slot edit masks (slot 0 unused). Returns (S, N, 3, H, W).
+
+    uint8_wire quantizes per-step OUTPUTS (not the carried state) with
+    save_img's exact floor(clip*255) so JPEG bytes are unchanged while
+    the device->host transfer shrinks 4x (the tunnel downloads at
+    ~33 MB/s vs GB/s uploads)."""
+
+    def body(img, xs):
+        slot, prm = xs
+        onehot = jax.nn.one_hot(slot, bank.N_OPS + 1, dtype=img.dtype)
+        m = None
+        if masks_all is not None:
+            m = jnp.take_along_axis(
+                masks_all, slot[:, None, None, None, None], axis=1)[:, 0]
+        out = bank.execute_onehot(img, onehot, prm, mask=m)
+        y = (jnp.clip(out, 0, 1) * 255).astype(jnp.uint8) \
+            if uint8_wire else out
+        return out, y
+
+    _, ys = jax.lax.scan(body, imgs0,
+                         (slots.T, jnp.transpose(params, (1, 0, 2))))
+    return ys
+
+
+def _replay_images_batch(I_0s, actions_list, op_masks=None,
+                         max_beams=None, uint8_wire=False):
+    """Replay EVERY pair's surviving beams in one jitted scan and one
+    device->host transfer (the per-(pair, beam, step) eager-dispatch
+    replay dominated lockstep planning wall-clock through the tunnel).
+
+    :param I_0s: (P, 3, H, W).
+    :param actions_list: per pair, a list of beam action sequences.
+    :param op_masks: None | per-pair list of {executor_op: (1, H, W)}.
+    :param max_beams: replay only the first `max_beams` beams per pair
+        (dataset planning writes just the top beam's edit images);
+        remaining beams get empty image lists.
+    :param uint8_wire: quantize step images to uint8 on device (see
+        _replay_scan) and return float arrays u/255 — JPEG-identical.
+    :return: per pair: images[b] = [per-step (1, 3, H, W) numpy arrays].
+    """
+    rows = []                                 # (pair_idx, seq)
+    for pi, beams in enumerate(actions_list):
+        for seq in beams[:max_beams]:
+            rows.append((pi, seq))
+    s_max = max((len(seq) for _, seq in rows), default=0)
+    if s_max == 0:
+        return [[[] for _ in beams] for beams in actions_list]
+    # bucket the padded shapes (steps to multiples of 6, rows to
+    # multiples of 4) so varying beam counts / sequence lengths across
+    # pairs don't each compile a fresh _replay_scan variant; identity
+    # slots and repeated rows are exact no-ops
+    s_pad = -(-s_max // 6) * 6
+    n = len(rows)
+    n_pad = -(-n // 4) * 4
+    h, w = I_0s.shape[-2:]
+    slots = np.zeros((n_pad, s_pad), np.int32)
+    params = np.zeros((n_pad, s_pad, bank.MAX_PARAM), np.float32)
+    imgs0 = np.zeros((n_pad, 3, h, w), np.float32)
+    for i, (pi, seq) in enumerate(rows):
+        imgs0[i] = I_0s[pi]
+        for s, (name, p_list, _d) in enumerate(seq):
+            slots[i, s] = OP_NAMES.index(name) + 1
+            params[i, s, : len(p_list)] = p_list
+    masks_all = None
+    has_masks = op_masks is not None and any(len(d) > 0 for d in op_masks)
+    if has_masks:
+        masks_all = np.ones((n_pad, bank.N_OPS + 1, 1, h, w), np.float32)
+        for i, (pi, _seq) in enumerate(rows):
+            for op, m in op_masks[pi].items():
+                masks_all[i, int(op) + 1] = m
+        masks_all = jnp.asarray(masks_all)
+    ys = np.asarray(_replay_scan(jnp.asarray(imgs0), jnp.asarray(slots),
+                                 jnp.asarray(params), masks_all,
+                                 uint8_wire=uint8_wire))
+    if uint8_wire:
+        ys = ys.astype(np.float32) / 255.0
+    out = [[] for _ in actions_list]
+    for i, (pi, seq) in enumerate(rows):
+        out[pi].append([ys[s, i][None] for s in range(len(seq))])
+    for pi, beams in enumerate(actions_list):     # beams beyond max_beams
+        while len(out[pi]) < len(beams):
+            out[pi].append([])
+    return out
 
 
 def init_distance(I_0, I_gt) -> float:
@@ -304,6 +452,8 @@ def batch_beam_search(
     dist_type: str = "l1",
     mesh=None,
     op_masks=None,
+    replay_beams=None,
+    replay_uint8: bool = False,
 ):
     """Plan MANY pairs in lockstep: one device fit per step covers every
     (pair x beam x op x restart) candidate simultaneously.
@@ -321,15 +471,25 @@ def batch_beam_search(
     :param op_masks: optional per-pair mask conditioning — a list of P
         dicts {executor_op_idx: (1, H, W) float mask} (the GIER local-edit
         planner, batched; see beam_search's op_masks).
+    :param replay_beams: replay step images for only the first N beams
+        per pair (dataset planning needs just the top beam); the rest
+        return empty image lists.
+    :param replay_uint8: uint8 image wire for the replay download —
+        JPEG-byte-identical, 4x fewer bytes through the tunnel.
     :return: list of per-pair (actions, images) like beam_search's.
     """
     if mode not in ("plain", "eps", "fixed"):
         raise ValueError(f"unknown beam-search mode {mode!r} "
                          "(want plain | eps | fixed)")
-    rng = np.random.default_rng(seed)
     dist_type = normalize_dist_type(dist_type)
     if mode == "fixed":
         beam_size = 1
+    if mode in ("plain", "fixed"):
+        return _batch_beam_search_fused(
+            I_0s, I_gts, beam_size, operations, max_step, err, mode,
+            n_starts, n_iters, lr, replace, seed, dist_type, mesh,
+            op_masks, replay_beams, replay_uint8)
+    rng = np.random.default_rng(seed)
     p = I_0s.shape[0]
     # per-pair host state
     states = [{
@@ -340,10 +500,7 @@ def batch_beam_search(
     I_buff = I_0s[:, None].copy()                 # (P, n_beam, 3, H, W)
 
     for step in range(max_step):
-        if mode == "fixed":
-            step_ops = [operations[step]] if step < len(operations) else []
-        else:
-            step_ops = list(operations)
+        step_ops = list(operations)
         if not step_ops or all(s["done"] for s in states):
             break
         n_beam = I_buff.shape[1]
@@ -354,7 +511,8 @@ def batch_beam_search(
             row_masks = [op_masks[pi] for pi in range(p)
                          for _ in range(n_beam)]
         params, dists, outs, cand_ops = _fit_step(
-            flat, tgt, step_ops, n_starts, n_iters, lr, init_key=seed + step,
+            flat, tgt, step_ops, n_starts, n_iters, lr,
+            init_key=seed + step,
             dist_type=dist_type, mesh=mesh, op_masks=row_masks)
         params = params.reshape(p, n_beam, *params.shape[1:])
         dists = dists.reshape(p, n_beam, -1)
@@ -370,7 +528,8 @@ def batch_beam_search(
             tmp_min = []
             for j in range(len(st["sequences"])):
                 used = ([] if replace else
-                        [OP_NAMES.index(a[0]) for a in st["sequences"][j][0]])
+                        [OP_NAMES.index(a[0])
+                         for a in st["sequences"][j][0]])
                 for op in step_ops:
                     if op in used:
                         continue
@@ -378,12 +537,13 @@ def batch_beam_search(
                     best = cols[int(np.argmin(dists[pi, j, cols]))]
                     dist = float(dists[pi, j, best])
                     k = O.PARAM_COUNTS[op]
-                    accept = (dist < st["min_dist"]) if mode == "plain" else True
+                    accept = ((dist < st["min_dist"])
+                              if mode == "plain" else True)
                     if accept:
                         tmp_min.append(dist)
                         seq = st["sequences"][j][0] + [
-                            (OP_NAMES[op], params[pi, j, best, :k].tolist(),
-                             dist)]
+                            (OP_NAMES[op],
+                             params[pi, j, best, :k].tolist(), dist)]
                         all_candidates.append((seq, dist))
                         I_tmp.append(outs[pi, j, best])
                         no_update = False
@@ -395,7 +555,7 @@ def batch_beam_search(
                 all_candidates += st["sequences"]
                 I_tmp += list(I_buff[pi, : len(st["sequences"])])
             order = np.argsort([c[1] for c in all_candidates], kind="stable")
-            if mode == "eps" and rng.random() < eps:
+            if rng.random() < eps:
                 order = rng.permutation(len(all_candidates))
             keep = order[:beam_size]
             st["sequences"] = [all_candidates[i] for i in keep]
@@ -405,13 +565,139 @@ def batch_beam_search(
                 st["done"] = True
         I_buff = np.stack(next_buff)
 
-    results = []
-    for pi, st in enumerate(states):
-        actions = [list(seq) for seq, _ in st["sequences"]]
-        results.append((actions, _replay_images(
-            I_0s[pi:pi + 1], actions,
-            op_masks[pi] if op_masks is not None else None)))
-    return results
+    actions_list = [[list(seq) for seq, _ in st["sequences"]]
+                    for st in states]
+    reps = _replay_images_batch(I_0s, actions_list, op_masks,
+                                max_beams=replay_beams,
+                                uint8_wire=replay_uint8)
+    return list(zip(actions_list, reps))
+
+
+def _batch_beam_search_fused(I_0s, I_gts, beam_size, operations, max_step,
+                             err, mode, n_starts, n_iters, lr, replace,
+                             seed, dist_type, mesh=None, op_masks=None,
+                             replay_beams=None, replay_uint8=False):
+    """Device-resident lockstep planning (plain / fixed modes).
+
+    Each step is ONE jitted fit_select_update call: fit all (pair x beam
+    x op x restart) candidates, top-k select per pair, and compose the
+    next beam buffer — all on device. The beam images NEVER visit the
+    host; per step only (dists, params, indices) — a few KB — cross the
+    boundary, vs ~19 MB/step of candidate images on the old path (the
+    dominant cost through a tunnel-attached chip). Host bookkeeping
+    mirrors the device composition rule exactly (see fit_select_update).
+    """
+    import jax
+
+    p_real = I_0s.shape[0]
+    bsh = rep = None
+    pad = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        bsh = NamedSharding(mesh, PS(mesh.axis_names[0]))
+        rep = NamedSharding(mesh, PS())
+        pad = (-p_real) % mesh.devices.size
+    if pad:
+        I_0s_d = np.concatenate([I_0s, np.repeat(I_0s[-1:], pad, 0)])
+        I_gts_d = np.concatenate([I_gts, np.repeat(I_gts[-1:], pad, 0)])
+    else:
+        I_0s_d, I_gts_d = I_0s, I_gts
+    p = I_0s_d.shape[0]
+
+    states = [{
+        "min_dist": float("inf"),
+        "sequences": [([], float("inf"))],
+        "done": pi >= p_real,            # padding pairs never search
+    } for pi in range(p)]
+
+    imgs = jnp.asarray(I_0s_d)[:, None]              # (P, 1, 3, H, W)
+    tgts = jnp.asarray(I_gts_d)
+    if mesh is not None:
+        imgs = jax.device_put(imgs, bsh)
+        tgts = jax.device_put(tgts, bsh)
+    mask_cache = {}
+
+    def masks_for(fos):
+        if op_masks is None:
+            return None
+        if fos not in mask_cache:
+            m = _op_mask_rows(list(op_masks) + [op_masks[-1]] * pad,
+                              fos, I_0s.shape[-2:])
+            if m is not None and mesh is not None:
+                m = jax.device_put(m, bsh)
+            mask_cache[fos] = m
+        return mask_cache[fos]
+
+    for step in range(max_step):
+        if mode == "fixed":
+            step_ops = [operations[step]] if step < len(operations) else []
+        else:
+            step_ops = list(operations)
+        if not step_ops or all(s["done"] for s in states):
+            break
+        fos = tuple(int(op) for op in step_ops)
+        n_ops = len(fos)
+        n_beam = imgs.shape[1]
+        allow = np.zeros((p, n_beam, n_ops), bool)
+        thr = np.full((p,), np.inf, np.float32)
+        for pi, st in enumerate(states):
+            if st["done"]:
+                continue
+            if mode == "plain":
+                thr[pi] = st["min_dist"]
+            for j in range(len(st["sequences"])):
+                used = (set() if replace else
+                        {OP_NAMES.index(a[0])
+                         for a in st["sequences"][j][0]})
+                for i, op in enumerate(fos):
+                    allow[pi, j, i] = op not in used
+        allow_j, thr_j = jnp.asarray(allow), jnp.asarray(thr)
+        init = jnp.asarray(F.init_candidates(fos, n_starts,
+                                             key=seed + step))
+        if mesh is not None:
+            allow_j = jax.device_put(allow_j, bsh)
+            thr_j = jax.device_put(thr_j, bsh)
+            init = jax.device_put(init, rep)
+        imgs, sel_d_j, sel_p_j, sel_b_j, sel_pos_j = F.fit_select_update(
+            imgs, tgts, init, allow_j, thr_j, fos, n_starts, beam_size,
+            n_iters=n_iters, lr=lr, dist=dist_type, masks=masks_for(fos))
+        sel_d = np.asarray(sel_d_j)
+        sel_params = np.asarray(sel_p_j)
+        sel_beam = np.asarray(sel_b_j)
+        sel_pos = np.asarray(sel_pos_j)
+
+        for pi, st in enumerate(states):
+            if st["done"]:
+                continue
+            cands = []
+            finish = False
+            for r in range(sel_d.shape[1]):
+                dist = float(sel_d[pi, r])
+                if not np.isfinite(dist):
+                    break
+                op = fos[int(sel_pos[pi, r])]
+                j = int(sel_beam[pi, r])
+                k = O.PARAM_COUNTS[op]
+                seq = st["sequences"][j][0] + [
+                    (OP_NAMES[op], sel_params[pi, r, :k].tolist(), dist)]
+                cands.append((seq, dist))
+                if dist < err:
+                    finish = True
+            if cands:
+                st["min_dist"] = min(st["min_dist"], cands[0][1])
+            # accepted (ascending) first, then previous sequences — the
+            # exact merge fit_select_update applied to the image buffer
+            st["sequences"] = (cands + st["sequences"])[:beam_size]
+            if not cands or finish:
+                st["done"] = True
+
+    actions_list = [[list(seq) for seq, _ in st["sequences"]]
+                    for st in states[:p_real]]
+    reps = _replay_images_batch(I_0s, actions_list, op_masks,
+                                max_beams=replay_beams,
+                                uint8_wire=replay_uint8)
+    return list(zip(actions_list, reps))
 
 
 def _pad_beams(buf: np.ndarray, beam_size: int) -> np.ndarray:

@@ -132,8 +132,12 @@ def plan_dataset_batched(pairs: Iterable, out_dir: str, phase: str = "train",
         # seed varies per batch (first item index) on top of the caller's
         # base seed, so eps-greedy draws / restart jitter are not replayed
         # identically across the whole dataset
+        # only the top beam's step images are written (edit{k}.jpg), and
+        # they are JPEG-quantized anyway — replay just that beam and use
+        # the uint8 wire (device->host is the tunnel's slow direction)
         results = batch_beam_search(I0, Igt,
                                     seed=base_seed + metas[0][0],
+                                    replay_beams=1, replay_uint8=True,
                                     **plan_kwargs)
         for (actions, images), (idx, request, img_x, img_y) in zip(results,
                                                                    metas):
