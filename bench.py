@@ -294,15 +294,21 @@ def main():
         "ms_per_chain_call": round(dt * 1e3, 3),
         "device": str(jax.devices()[0]),
     }
-    # HBM roofline (VERDICT r2 item 8): the kernel's traffic contract is
-    # ONE read + ONE write of the batch per chain call (image resident in
-    # VMEM across all K steps), so the bandwidth-bound speed of light is
-    # peak_HBM / (2 * batch_bytes) chain calls/s. A pure-copy kernel on
-    # this pipeline measures 2.5 ms/call (~320 GB/s effective through
-    # the grid), so the practical ceiling is ~255k ops/s; the r4 kernel
-    # (unit-switch dispatch, min-form curves, poly cos — see
-    # ops/pallas_fused.py) runs within ~2x of that, VPU-bound in the
-    # curve/contrast branches (scripts/kernel_probe*.py decomposition).
+    # HBM roofline context. The kernel's traffic contract is ONE read +
+    # ONE write of the batch per chain call (image resident in VMEM
+    # across all K steps). Round-5 probes (scripts/kernel_probe{5..10})
+    # CORRECTED the r4 ceiling model: a tone chain with constant-block
+    # index maps (no HBM traffic at all) runs in the SAME time as the
+    # real chain, so the DMA is fully hidden and the kernel is purely
+    # VPU-issue-bound (~0.086 ms per full-tile vector op at b128/512px;
+    # min-form curve = 2 ops/knot is the op-count minimum). The old
+    # "255k ops/s copy-floor ceiling" assumed the opposite regime
+    # (DMA-bound, compute hidden) and is not a real bound; measured
+    # no-gain-or-worse: multi-image blocks, parallel dimension
+    # semantics, plain grid specs, uint8 wire (Mosaic u8<->f32 hops
+    # through i32, ~1 ms of unpack), accumulator splits, select-tree
+    # curves. The roofline_frac fields below are kept for continuity
+    # but the binding resource is VPU issue rate, not HBM.
     hbm_gbps, _ = _device_peaks()
     if hbm_gbps:
         io_bytes = 2 * float(np.prod(imgs.shape)) * 4

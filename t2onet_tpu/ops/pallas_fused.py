@@ -13,6 +13,19 @@ per-channel (H, W) planes map directly onto the VPU's (8, 128) tiles.
 Grid: one program per image; the Pallas pipeline overlaps the next image's
 HBM->VMEM DMA with the current image's compute.
 
+Perf regime (round-5 probes, scripts/kernel_probe{5..10} on the real
+v5e): the kernel is VPU-issue-bound, NOT bandwidth-bound — a tone chain
+with constant-block index maps (no HBM traffic) runs in the same time as
+the real chain, so the DMA is fully hidden behind compute. At b128/512px
+a full-tile vector op costs ~0.086 ms; the min-form curve's 2 ops/knot
+is the op-count minimum. Measured no-gain-or-worse and rejected:
+multi-image blocks (G=2/4: 7.2 ms vs 5.0), dimension_semantics
+"parallel", plain GridSpec vs scalar prefetch, uint8 wire (no direct
+u8<->f32 Mosaic cast; the i32 hops cost ~1 ms, eating the DMA saving),
+4-way accumulator splits (8.1 vs 7.3 all-tone), segment/select-tree
+curve forms (23.7 ms). The mixed-workload headline ~142k ops/s is the
+speed of light for this op mix in f32 on this chip.
+
 Op slot ids (same as ops.bank): 0 identity, 1..8 = executor ops
 brightness, contrast, saturation, color, inpaint(identity), tone,
 sharpness, white.
@@ -83,11 +96,21 @@ def _cospi01(x):
 
 
 def _contrast(img, p):
+    """Cosine-lum contrast. The polynomial runs in Estrin form (same
+    coefficients, regrouped: halved dependency depth) and the lerp is
+    folded to one per-pixel scale img*((1-p) + p*ratio) — measured
+    4.66 vs 5.03 ms on the all-contrast 5-step chain (probe 7), exact
+    to fp regrouping (1e-6 vs the Horner/lerp form)."""
     lum = jnp.clip(0.27 * img[0] + 0.67 * img[1] + 0.06 * img[2], 0.0, 1.0)
-    clum = -_cospi01(lum) * 0.5 + 0.5
+    u = lum - 0.5
+    v = u * u
+    w = v * v
+    C = _SINPI_C
+    acc = (C[0] + C[1] * v) + w * ((C[2] + C[3] * v) + w * (C[4] + C[5] * v))
+    clum = (acc * u) * 0.5 + 0.5        # = -cos(pi*lum)/2 + 1/2
     ratio = clum / (lum + 1e-6)
-    cimg = img * ratio[None]
-    return (1.0 - p[0]) * img + p[0] * cimg
+    k = (1.0 - p[0]) + p[0] * ratio
+    return img * k[None]
 
 
 def _curve_1ch(x, p, off=0):
