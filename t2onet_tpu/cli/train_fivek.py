@@ -74,6 +74,14 @@ def main(argv=None):
                         "-1 (default): auto — on for SINGLE-CHIP TPU runs; "
                         "off on CPU (only the slow interpreter exists) and "
                         "under --data_parallel meshes (pass 1 to force)")
+    p.add_argument("--episode_probe", type=int, default=0,
+                   help="episode rollout decodes at this probe resolution "
+                        "(bilinear view for the vis encoder) while "
+                        "operators + L1 loss run at full train_size — the "
+                        "serve.py two-stage design applied to training "
+                        "(the 5 sequential ResNet decodes bound the "
+                        "episode step). 0 = off (reference-exact). "
+                        "Convergence A/B: docs/ROADMAP.md round-5")
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
     run_dir = common.resolve_run_dir(a)
@@ -129,7 +137,11 @@ def main(argv=None):
           f"{'fused Pallas step kernel' if pallas_exec else 'one-hot bank'}"
           + (" (auto: pallas needs a single-chip TPU run)"
              if a.pallas_exec == -1 and not pallas_exec else ""))
+    if a.episode_probe:
+        print(f"[train] episode probe resolution: {a.episode_probe}px "
+              f"(exec/loss at {a.img_size}px)", flush=True)
     epi_step = make_episode_step(actor, mesh=mesh, sample=True,
+                                 probe_size=a.episode_probe or None,
                                  with_masks=use_masks,
                                  pallas_exec=pallas_exec)
     eval_fn = make_eval_episode(actor)

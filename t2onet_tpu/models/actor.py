@@ -256,7 +256,8 @@ class Actor(nn.Module):
     def episode(self, x, img_x, rng=None, sample: bool = False,
                 train: bool = False, masks=None,
                 pallas_exec: bool = False,
-                param_noise: float = 0.0):
+                param_noise: float = 0.0,
+                probe_size: int | None = None):
         """Free-running rollout (reference actor.py:184-284).
 
         :param x: (B, L) request tokens.
@@ -275,6 +276,14 @@ class Actor(nn.Module):
             predicted parameters, clamped to each op's range (the
             reference's has_noise path, operators.py:113-121; its
             param_noise_factor default is 0.6). Requires rng.
+        :param probe_size: decode at a reduced probe resolution: the
+            vis encoder sees a bilinear-resized view of the current
+            image while operators/loss run at full resolution (the
+            serve.py two-stage design, applied to training: the
+            per-step ResNet decode dominates episode latency). Trades
+            the reference's exact BN/vis fidelity for throughput —
+            convergence A/B-gated (docs/ROADMAP.md round-5). Gradients
+            still flow through the resize into the operator chain.
         :return: dict with
             imgs   (B, S, 3, H, W) image after each step
             ops    (B, S) chosen vocab op ids
@@ -306,7 +315,12 @@ class Actor(nn.Module):
 
         def step(mdl, carry, _):
             img, pred_op, op_mask, dec_carry, key = carry
-            feat = mdl.vis_feat(img, train)
+            probe = img
+            if probe_size is not None and probe_size != img.shape[-1]:
+                probe = jax.image.resize(
+                    img, (img.shape[0], 3, probe_size, probe_size),
+                    method="bilinear")
+            feat = mdl.vis_feat(probe, train)
             logprob, dec_carry, attn, context = mdl.decoder(
                 pred_op, dec_carry, enc_out, enc_valid, feat)
             # explore smoothing + hard mask + renorm (actor.py:223-228)

@@ -174,7 +174,8 @@ def make_supervised_step(actor: Actor, mesh=None, donate: bool = True,
 
 def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
                       donate: bool = True, state_sharding=None,
-                      with_masks: bool = False, pallas_exec: bool = False):
+                      with_masks: bool = False, pallas_exec: bool = False,
+                      probe_size=None):
     """Build the jitted episode (end-to-end L1) step.
 
     batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W)
@@ -185,6 +186,9 @@ def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
     kernel (custom VJP, selected-branch forward AND backward) instead of
     the 8-branch one-hot bank — same gradients, faster episode training
     on TPU.
+    probe_size: decode each rollout step at this probe resolution while
+    executing operators and the L1 loss at full resolution (see
+    Actor.episode; convergence A/B-gated).
     """
 
     def step_fn(state: TrainState, batch, rng):
@@ -193,7 +197,7 @@ def make_episode_step(actor: Actor, mesh=None, sample: bool = True,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"], batch["img_x"], rng=rng, sample=sample,
                 masks=batch["masks_vocab"] if with_masks else None,
-                pallas_exec=pallas_exec,
+                pallas_exec=pallas_exec, probe_size=probe_size,
                 train=True, mutable=["batch_stats"], method=Actor.episode)
             loss = episode_l1_loss(out["imgs"], out["ops"], batch["gt_img"])
             return loss, updates["batch_stats"]

@@ -38,6 +38,33 @@ def test_episode_shapes(actor_and_vars):
     assert np.isfinite(np.asarray(out["imgs"])).all()
 
 
+def test_episode_probe_size(actor_and_vars):
+    """probe_size decodes at a reduced view: output images stay at full
+    resolution, the rollout is gradient-clean, and probe_size == full
+    size reproduces the default path exactly."""
+    actor, variables, x, img = actor_and_vars
+    out = actor.apply(variables, x, img, probe_size=HW // 2,
+                      method=Actor.episode)
+    assert out["imgs"].shape == (B, 5, 3, HW, HW)
+    assert np.isfinite(np.asarray(out["imgs"])).all()
+    # same-size probe is exactly the default path
+    ref = actor.apply(variables, x, img, method=Actor.episode)
+    same = actor.apply(variables, x, img, probe_size=HW,
+                       method=Actor.episode)
+    np.testing.assert_allclose(np.asarray(same["imgs"]),
+                               np.asarray(ref["imgs"]), atol=0)
+
+    def loss(v):
+        o = actor.apply(v, x, img, probe_size=HW // 2,
+                        method=Actor.episode)
+        return jnp.abs(o["imgs"]).mean()
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree.leaves(g["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_episode_never_picks_blocked_ops(actor_and_vars):
     """NONE/START/inpaint/color_bg are hard-blocked (reference actor.py:211)."""
     actor, variables, x, img = actor_and_vars
