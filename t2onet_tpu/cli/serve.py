@@ -40,6 +40,13 @@ def build_parser():
                    help="decode at native bucket resolution "
                         "(reference-exact; more compiles)")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--io_threads", type=int, default=8,
+                   help="concurrent device->host readback streams "
+                        "(1 = serial; 8 measures ~2x aggregate download "
+                        "bandwidth through the tunnel)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="launched-but-unsynced micro-batches the HTTP "
+                        "batcher keeps in flight")
     return p
 
 
@@ -72,7 +79,8 @@ def build_engine(a):
     return ServingEngine(
         actor, variables, vocab2id, decode_size=a.decode_size,
         max_batch=a.max_batch, decode_native=a.decode_native,
-        encoder_max_len=a.encoder_max_len, use_pallas=not a.no_pallas)
+        encoder_max_len=a.encoder_max_len, use_pallas=not a.no_pallas,
+        io_threads=a.io_threads)
 
 
 def run_bench(engine, n: int, size: int):
@@ -103,6 +111,7 @@ def run_bench(engine, n: int, size: int):
         "unit": "req/s",
         "detail": {
             "n": n, "batch": engine.max_batch,
+            "io_threads": engine.io_threads,
             "launch_s": round(st["launch_s"], 3),
             "sync_s": round(st["sync_s"], 3),
             "mean_program_len": float(np.mean(
@@ -191,7 +200,8 @@ def main(argv=None):
 
         from t2onet_tpu.serve import MicroBatcher
 
-        batcher = MicroBatcher(engine, linger_ms=a.linger_ms).start()
+        batcher = MicroBatcher(engine, linger_ms=a.linger_ms,
+                               pipeline_depth=a.pipeline_depth).start()
         server = ThreadingHTTPServer(("127.0.0.1", a.port),
                                      make_http_handler(engine))
         print(f"serving on http://127.0.0.1:{a.port}  "
