@@ -57,7 +57,7 @@ class DiscBundle:
     def init(self, rng, img6, hidden):
         r1, r2 = jax.random.split(rng)
         cv = self.cond.init(r1, hidden)
-        cond0 = jnp.zeros((img6.shape[0], 512))
+        cond0 = jnp.zeros((img6.shape[0], self.cond.cond_nc))
         dv = self.disc.init(r2, img6, cond0)
         return ({"disc": dv["params"], "cond": cv["params"]},
                 {"disc": dv.get("batch_stats", {}),
@@ -126,6 +126,89 @@ def last_valid_teacher(img_y):
         inter, idx[:, None, None, None, None], axis=1)[:, 0]
 
 
+def make_gan_step(actor, bundle, losses, tx_g, tx_d, mesh=None,
+                  state_sharding=None):
+    """Build the jitted GAN iteration: G update (actor) + D update.
+
+    Spec: reference experiments/t2onet+D-L1/train_seq2seqGAN.py:77-130 —
+    loss_G = G_GAN + G_GAN_Feat (+ G_VGG) over the actor via optimizer_G,
+    loss_D = (D_fake + D_real)/2 over D + cond-encoder via optimizer_D.
+
+    mesh: optional jax.sharding.Mesh. The batch shards over the mesh's
+    data axis; the actor state follows state_sharding (parallel/mesh.py
+    2-D layouts supported); the GAN side (multiscale D + cond encoder +
+    both Adam moment trees) is replicated — D is ~1% of the actor's
+    FLOPs, so DP with GSPMD-inserted gradient psums is the right layout.
+    """
+
+    def gan_step(state, gan, batch, rng):
+        def rollout(params):
+            out, upd = actor.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"], batch["img_x"], rng=rng, sample=True, train=True,
+                mutable=["batch_stats"], method=Actor.episode)
+            fake = select_end_images(out["imgs"], out["ops"])
+            return fake, upd["batch_stats"]
+
+        # text condition from the (frozen) encoder hidden (seq2seqGAN.py:88-90)
+        _, (enc_h, _), _ = actor.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["x"], method=lambda m, x: m.lang_encoder(x))
+        enc_h = jax.lax.stop_gradient(enc_h)
+
+        def g_loss_fn(params):
+            fake, new_bs = rollout(params)
+            cond, cbs = bundle.apply(gan.d_params, gan.d_batch_stats,
+                                     None, enc_h, train=True)
+            ld = losses(bundle.disc_apply(gan.d_params, gan.d_batch_stats),
+                        batch["img_x"], fake, batch["gt_img"], cond,
+                        pseudo_real=batch.get("pseudo_real"), parts="g")
+            g = ld["G_GAN"] + ld["G_GAN_Feat"] + ld["G_VGG"]
+            return g, (ld, fake, new_bs)
+
+        (g_total, (ld, fake, new_bs)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params)
+        g_updates, g_opt = tx_g.update(g_grads, gan.g_opt, state.params)
+        new_actor_params = optax.apply_updates(state.params, g_updates)
+
+        def d_loss_fn(d_params):
+            cond, _ = bundle.apply(d_params, gan.d_batch_stats, None, enc_h,
+                                   train=True)
+            ld2 = losses(bundle.disc_apply(d_params, gan.d_batch_stats),
+                         batch["img_x"], jax.lax.stop_gradient(fake),
+                         batch["gt_img"], cond,
+                         pseudo_real=batch.get("pseudo_real"), parts="d")
+            return 0.5 * (ld2["D_fake"] + ld2["D_real"]), ld2
+
+        (d_total, ld2), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(gan.d_params)
+        d_updates, d_opt = tx_d.update(d_grads, gan.d_opt, gan.d_params)
+        new_d_params = optax.apply_updates(gan.d_params, d_updates)
+
+        new_d_bs = bundle.update_stats(
+            new_d_params, gan.d_batch_stats,
+            jnp.concatenate([batch["img_x"], batch["gt_img"]], axis=1),
+            enc_h)
+        state = state.replace(params=new_actor_params, batch_stats=new_bs,
+                              step=state.step + 1)
+        gan = gan.replace(d_params=new_d_params, d_batch_stats=new_d_bs,
+                          d_opt=d_opt, g_opt=g_opt)
+        metrics = {"G_loss": g_total, "D_loss": d_total,
+                   "G_GAN": ld["G_GAN"], "G_GAN_Feat": ld["G_GAN_Feat"],
+                   "D_real": ld2["D_real"], "D_fake": ld2["D_fake"]}
+        return state, gan, metrics
+
+    if mesh is None:
+        return jax.jit(gan_step)
+    from t2onet_tpu.parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    st = rep if state_sharding is None else state_sharding
+    return jax.jit(gan_step, in_shardings=(st, rep, bs, rep),
+                   out_shardings=(st, rep, rep))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     common.add_base_args(p)
@@ -185,64 +268,7 @@ def main(argv=None):
     sup_step = make_supervised_step(actor, donate=False)
     eval_fn = make_eval_episode(actor)
 
-    @jax.jit
-    def gan_step(state, gan, batch, rng):
-        """One GAN iteration: G update (actor) + D update."""
-        def rollout(params):
-            out, upd = actor.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["x"], batch["img_x"], rng=rng, sample=True, train=True,
-                mutable=["batch_stats"], method=Actor.episode)
-            fake = select_end_images(out["imgs"], out["ops"])
-            return fake, upd["batch_stats"]
-
-        # text condition from the (frozen) encoder hidden (seq2seqGAN.py:88-90)
-        _, (enc_h, _), _ = actor.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["x"], method=lambda m, x: m.lang_encoder(x))
-        enc_h = jax.lax.stop_gradient(enc_h)
-
-        def g_loss_fn(params):
-            fake, new_bs = rollout(params)
-            cond, cbs = bundle.apply(gan.d_params, gan.d_batch_stats,
-                                     None, enc_h, train=True)
-            ld = losses(bundle.disc_apply(gan.d_params, gan.d_batch_stats),
-                        batch["img_x"], fake, batch["gt_img"], cond,
-                        pseudo_real=batch.get("pseudo_real"), parts="g")
-            g = ld["G_GAN"] + ld["G_GAN_Feat"] + ld["G_VGG"]
-            return g, (ld, fake, new_bs)
-
-        (g_total, (ld, fake, new_bs)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params)
-        g_updates, g_opt = tx_g.update(g_grads, gan.g_opt, state.params)
-        new_actor_params = optax.apply_updates(state.params, g_updates)
-
-        def d_loss_fn(d_params):
-            cond, _ = bundle.apply(d_params, gan.d_batch_stats, None, enc_h,
-                                   train=True)
-            ld2 = losses(bundle.disc_apply(d_params, gan.d_batch_stats),
-                         batch["img_x"], jax.lax.stop_gradient(fake),
-                         batch["gt_img"], cond,
-                         pseudo_real=batch.get("pseudo_real"), parts="d")
-            return 0.5 * (ld2["D_fake"] + ld2["D_real"]), ld2
-
-        (d_total, ld2), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(gan.d_params)
-        d_updates, d_opt = tx_d.update(d_grads, gan.d_opt, gan.d_params)
-        new_d_params = optax.apply_updates(gan.d_params, d_updates)
-
-        new_d_bs = bundle.update_stats(
-            new_d_params, gan.d_batch_stats,
-            jnp.concatenate([batch["img_x"], batch["gt_img"]], axis=1),
-            enc_h)
-        state = state.replace(params=new_actor_params, batch_stats=new_bs,
-                              step=state.step + 1)
-        gan = gan.replace(d_params=new_d_params, d_batch_stats=new_d_bs,
-                          d_opt=d_opt, g_opt=g_opt)
-        metrics = {"G_loss": g_total, "D_loss": d_total,
-                   "G_GAN": ld["G_GAN"], "G_GAN_Feat": ld["G_GAN_Feat"],
-                   "D_real": ld2["D_real"], "D_fake": ld2["D_fake"]}
-        return state, gan, metrics
+    gan_step = make_gan_step(actor, bundle, losses, tx_g, tx_d)
 
     ckpt = CheckpointManager(os.path.join(run_dir, "seq2seqGAN_model"),
                              max_to_keep=a.max_keep_ckpts or None)

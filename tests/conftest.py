@@ -56,16 +56,28 @@ def _gc_compact_per_module():
     gc.freeze()
 
 
-def pytest_collection_modifyitems(items):
+def pytest_sessionstart(session):
+    import time
+
+    session.config._t2onet_t0 = time.time()
+
+
+def pytest_collection_modifyitems(config, items):
     """Run the multi-chip dryrun gate FIRST. Its subprocess runs 8
     emulated devices' collectives on this 1-core host; mid-suite, the
     pytest process's own backlog (async dispatch, compile-cache writes
     from dozens of cold whole-train-step compiles) can starve those
     threads into XLA's rendezvous watchdog. First-in-session matches how
-    the driver invokes it: a quiet host, nothing to contend with."""
+    the driver invokes it: a quiet host, nothing to contend with.
+
+    The wall-budget guard (test_zz_tier_budget.py) runs LAST so its
+    elapsed-time reading covers the whole session; it arms itself only
+    on full fast-tier runs (see its docstring)."""
     first = [i for i in items if "test_dryrun_multichip" in i.nodeid]
-    rest = [i for i in items if "test_dryrun_multichip" not in i.nodeid]
-    items[:] = first + rest
+    last = [i for i in items if "test_zz_tier_budget" in i.nodeid]
+    rest = [i for i in items if i not in first and i not in last]
+    items[:] = first + rest + last
+    config._t2onet_n_selected = len(items)
 
 
 def pytest_configure(config):
