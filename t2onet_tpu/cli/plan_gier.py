@@ -53,6 +53,13 @@ def main(argv=None):
                         "identity (reference: external EdgeConnect, "
                         "models/operators.py:625-682). Single-pair path "
                         "only (drop --pair_batch)")
+    p.add_argument("--edgeconnect_dir", default=None,
+                   help="dir holding EdgeModel_gen.pth + "
+                        "InpaintingModel_gen.pth: the inpaint candidate "
+                        "fills through the EdgeConnect MODEL=3 pipeline — "
+                        "the reference's actual inpaint backend "
+                        "(models/operators.py:625-682). Single-pair path "
+                        "only; mutually exclusive with --inpaint_ckpt")
     a = p.parse_args(argv)
     a.dataset = "GIER"
     if a.session == 1:
@@ -108,9 +115,30 @@ def main(argv=None):
             raise SystemExit("--inpaint_ckpt plans pairs one at a time "
                              "(drop --pair_batch): the filler closure "
                              "captures each pair's own mask")
+        if a.edgeconnect_dir:
+            raise SystemExit("--inpaint_ckpt and --edgeconnect_dir are "
+                             "alternative inpaint backends; pick one")
         from t2onet_tpu.models.inpaint import load_inpaint, make_inpaint_fn
 
         inpaint_net = load_inpaint(a.inpaint_ckpt)
+    ec_vars = None
+    if a.edgeconnect_dir:
+        if a.pair_batch > 1:
+            raise SystemExit("--edgeconnect_dir plans pairs one at a time "
+                             "(drop --pair_batch): the filler closure "
+                             "captures each pair's own mask")
+        import torch
+
+        from t2onet_tpu.models.edgeconnect import convert_edgeconnect_gen
+
+        esd = torch.load(os.path.join(a.edgeconnect_dir,
+                                      "EdgeModel_gen.pth"),
+                         map_location="cpu", weights_only=True)
+        isd = torch.load(os.path.join(a.edgeconnect_dir,
+                                      "InpaintingModel_gen.pth"),
+                         map_location="cpu", weights_only=True)
+        ec_vars = (convert_edgeconnect_gen(esd, "edge"),
+                   convert_edgeconnect_gen(isd, "inpaint"))
     pair_ids = range(a.start, len(gier))
     if a.limit is not None:
         pair_ids = list(pair_ids)[: a.limit]
@@ -151,6 +179,13 @@ def main(argv=None):
                 # closure captures THIS pair's gt object mask (1,1,H,W)
                 inpaint_fn = make_inpaint_fn(
                     *inpaint_net, op_masks[INPAINT_EXEC][None])
+            elif ec_vars is not None and INPAINT_EXEC in op_masks:
+                from t2onet_tpu.models.edgeconnect import (
+                    make_edgeconnect_inpaint_fn)
+
+                # (1,H,W) gt object mask; the fn squeezes to (H,W)
+                inpaint_fn = make_edgeconnect_inpaint_fn(
+                    ec_vars[0], ec_vars[1], op_masks[INPAINT_EXEC])
             actions, images = beam_search(
                 img_x, img_y, seed=a.manual_seed + pair_id,
                 op_masks=op_masks or None, inpaint_fn=inpaint_fn, **kw)
