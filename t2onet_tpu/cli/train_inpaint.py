@@ -79,17 +79,36 @@ def main(argv=None):
         if itr % a.checkpoint_every == 0 or itr == a.num_iters:
             save_inpaint(ckpt_dir, net, params)
 
-    # quick self-report: hole L1 before/after filling on a fresh batch
-    b = next(ds.batches(batch_size=a.batch_size, steps=1, shuffle=True))
-    img = jnp.asarray(b["img_x"])
-    mask = jnp.asarray(random_freeform_masks(
-        rng, img.shape[0], img.shape[2], img.shape[3]))
-    pred = compose(net.apply(params, img, mask), img, mask)
-    holed = img * (1.0 - mask)
-    denom = mask.sum() * 3 + 1e-8
-    l1_before = float((jnp.abs(holed - img) * mask).sum() / denom)
-    l1_after = float((jnp.abs(pred - img) * mask).sum() / denom)
-    print(f"hole L1: {l1_before:.4f} (blanked) -> {l1_after:.4f} (filled)")
+    # quality record: hole-region L1 + PSNR on HELD-OUT images (val
+    # split; fresh masks), vs the blank-fill baseline. PSNR over the
+    # composited image (known region exact), which is how the filler is
+    # consumed by the planner's inpaint slot.
+    try:
+        eval_ds, _, _, _ = common.build_dataset_and_vocab(a, phase="val")
+    except (FileNotFoundError, KeyError):
+        eval_ds = ds                      # synthetic/tiny workspaces
+    n_eval, tot = 4, {"l1_b": 0.0, "l1_a": 0.0, "mse_b": 0.0, "mse_a": 0.0}
+    for _ in range(n_eval):
+        b = next(eval_ds.batches(batch_size=a.batch_size, steps=1,
+                                 shuffle=True))
+        img = jnp.asarray(b["img_x"])
+        mask = jnp.asarray(random_freeform_masks(
+            rng, img.shape[0], img.shape[2], img.shape[3]))
+        pred = compose(net.apply(params, img, mask), img, mask)
+        holed = img * (1.0 - mask)
+        denom = mask.sum() * 3 + 1e-8
+        tot["l1_b"] += float((jnp.abs(holed - img) * mask).sum() / denom)
+        tot["l1_a"] += float((jnp.abs(pred - img) * mask).sum() / denom)
+        tot["mse_b"] += float((jnp.square(holed - img) * mask).sum() / denom)
+        tot["mse_a"] += float((jnp.square(pred - img) * mask).sum() / denom)
+    l1_b, l1_a = tot["l1_b"] / n_eval, tot["l1_a"] / n_eval
+    psnr_b = 10 * np.log10(1.0 / max(tot["mse_b"] / n_eval, 1e-10))
+    psnr_a = 10 * np.log10(1.0 / max(tot["mse_a"] / n_eval, 1e-10))
+    print(f"hole L1: {l1_b:.4f} (blanked) -> {l1_a:.4f} (filled)  "
+          f"hole PSNR: {psnr_b:.2f} dB -> {psnr_a:.2f} dB  "
+          f"({n_eval}x{a.batch_size} held-out images)")
+    logger.log(a.num_iters, hole_l1=l1_a, hole_psnr=psnr_a,
+               hole_l1_blank=l1_b, hole_psnr_blank=psnr_b)
     print(f"saved {ckpt_dir}")
 
 
