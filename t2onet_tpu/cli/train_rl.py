@@ -30,7 +30,17 @@ def main(argv=None):
     p.add_argument("--param_noise", type=float, default=0.0,
                    help="exploration noise on op params (reference "
                         "param_noise_factor 0.6; 0 = off)")
+    p.add_argument("--pg_weight", type=float, default=0.1,
+                   help="weight of the REINFORCE op-choice term against "
+                        "the pathwise L1 (whose scale is ~0.05)")
     p.add_argument("--data_parallel", type=int, default=1)
+    # ON-policy sampling: the REINFORCE estimator scores sampled ops
+    # under the model's own log-probs, so the rollout must draw from the
+    # model's softmax — the episode-L1 phase's explore-smoothed mixture
+    # (default 0.05) measurably collapses the policy to <END> (train/rl.py
+    # module docstring). Exploration comes from the softmax itself,
+    # entropy regularization, and --param_noise.
+    p.set_defaults(explore_prob=0.0)
     a = p.parse_args(argv)
     common.maybe_force_cpu(a)
 
@@ -76,7 +86,8 @@ def main(argv=None):
     logger = common.ScalarLogger(run_dir, name="rl_metrics")
     sup_step = make_supervised_step(actor, mesh=mesh)
     rl_step = make_rl_step(actor, mesh=mesh, entropy_factor=a.entropy_factor,
-                           param_noise=a.param_noise)
+                           param_noise=a.param_noise,
+                           pg_weight=a.pg_weight)
     eval_fn = make_eval_episode(actor)
 
     sh = batch_sharding(mesh) if mesh is not None else None

@@ -20,10 +20,17 @@ the compiled episode rollout rather than a per-step host loop:
   (log n_cls − H(π), actor.py:356-364) scaled by `entropy_factor`
   (default 0.05, fiveK_train_options.py).
 
-Note the sampled rollout draws ops from the explore-smoothed, hard-masked
-distribution (actor.py:223-236) while the REINFORCE term uses the model's
-own log-probs — the same off-policy simplification the reference's RL
-step makes (it returns the raw decoder logprob for the sampled op).
+The REINFORCE term scores sampled ops under the model's own log-probs,
+so the RL trainer samples ON-policy (cli/train_rl.py defaults
+explore_prob to 0: the rollout draws from the model's softmax, not the
+explore-smoothed mixture the episode-L1 phase uses, actor.py:223-236).
+Measured failure mode of the off-policy mixture (round 5, 1,280-pair
+workspace): uniform-smoothed sampling makes random edits score worse
+than editing nothing, so the batch-mean advantage teaches "emit <END>
+immediately" — 500 RL iters collapsed greedy val L1 from 0.0545 to the
+identity edit's 0.1604. The reference's single RL step makes the same
+raw-logprob simplification (reference models/actor.py:286-354) but
+ships no training loop to expose it (SURVEY.md §5.6).
 """
 
 from __future__ import annotations
@@ -36,7 +43,8 @@ from t2onet_tpu.models.actor import (Actor, get_entropy_penalty,
 from t2onet_tpu.train.loop import TrainState, _jit_step
 
 
-def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
+def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05,
+              pg_weight: float = 0.1):
     """Compute (pathwise L1, REINFORCE, entropy) losses from an episode
     rollout dict (imgs, ops, logprobs).
 
@@ -56,21 +64,30 @@ def rl_losses(out, gt_img, end_id: int = 2, entropy_factor: float = 0.05):
         logprobs, ops[..., None], axis=-1)[..., 0]                # (B, S)
 
     reward = -per_sample_l1
+    # batch-mean baseline + std normalization: the raw advantage scale is
+    # the L1 spread (~1e-2), which under-weights the op-choice gradient
+    # against the pathwise L1 term; normalizing makes the REINFORCE term's
+    # scale independent of the reward's units (measured collapse without
+    # it: 500 RL iters drove greedy val L1 to the identity edit).
     baseline = jax.lax.stop_gradient(reward.mean())
-    adv = jax.lax.stop_gradient(reward - baseline)                # (B,)
-    pg_loss = -(adv[:, None] * chosen_lp * step_w).sum(axis=1).mean()
+    spread = jax.lax.stop_gradient(reward.std() + 1e-4)
+    adv = jax.lax.stop_gradient((reward - baseline) / spread)     # (B,)
+    n_steps = jnp.maximum(step_w.sum(axis=1), 1.0)                # (B,)
+    pg_loss = -((adv[:, None] * chosen_lp * step_w).sum(axis=1)
+                / n_steps).mean()
 
     ent_penalty = get_entropy_penalty(logprobs)[..., 0]           # (B, S)
     ent_loss = (ent_penalty * step_w).sum(axis=1).mean()
 
     l1_loss = per_sample_l1.mean()
-    total = l1_loss + pg_loss + entropy_factor * ent_loss
+    total = l1_loss + pg_weight * pg_loss + entropy_factor * ent_loss
     return total, {"rl_l1": l1_loss, "rl_pg": pg_loss,
                    "rl_entropy": ent_loss, "rl_reward": reward.mean()}
 
 
 def make_rl_step(actor: Actor, mesh=None, entropy_factor: float = 0.05,
-                 donate: bool = True, param_noise: float = 0.0):
+                 donate: bool = True, param_noise: float = 0.0,
+                 pg_weight: float = 0.1):
     """Build the jitted RL episode step.
 
     batch: dict(x (B,L) int32, img_x (B,3,H,W), gt_img (B,3,H,W))
@@ -87,7 +104,8 @@ def make_rl_step(actor: Actor, mesh=None, entropy_factor: float = 0.05,
                 train=True, mutable=["batch_stats"],
                 param_noise=param_noise, method=Actor.episode)
             total, metrics = rl_losses(out, batch["gt_img"],
-                                       entropy_factor=entropy_factor)
+                                       entropy_factor=entropy_factor,
+                                       pg_weight=pg_weight)
             return total, (metrics, updates["batch_stats"])
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(

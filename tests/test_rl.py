@@ -32,7 +32,14 @@ def test_rl_losses_math():
     s, n_cls = 3, 11
     ops = jnp.asarray([[3, 2, 0],       # END at step 1 -> steps 0,1 count
                        [4, 5, 9]])      # no END -> all steps count
+    # sample 0: uniform logprobs; sample 1: its chosen ops carry a
+    # DIFFERENT logprob so the normalized-advantage pg term is
+    # non-degenerate (symmetric advantages with equal per-step logprob
+    # means cancel exactly)
     logprobs = jnp.log(jnp.full((2, s, n_cls), 1.0 / n_cls))
+    lp1 = float(np.log(0.5))
+    logprobs = logprobs.at[1, 0, 4].set(lp1).at[1, 1, 5].set(lp1) \
+                       .at[1, 2, 9].set(lp1)
     imgs = jnp.stack([jnp.full((s, 3, 4, 4), 0.5)] * 2)
     gt = jnp.stack([jnp.full((3, 4, 4), 0.5),       # perfect -> reward 0
                     jnp.full((3, 4, 4), 0.9)])      # off by .4
@@ -40,13 +47,17 @@ def test_rl_losses_math():
                          gt, entropy_factor=0.05)
     np.testing.assert_allclose(float(m["rl_l1"]), 0.2, atol=1e-6)
     np.testing.assert_allclose(float(m["rl_reward"]), -0.2, atol=1e-6)
-    # uniform policy -> zero entropy penalty (H = log n_cls)
-    np.testing.assert_allclose(float(m["rl_entropy"]), 0.0, atol=1e-5)
-    # advantages are (+0.2, -0.2); uniform logprob log(1/11) per step;
-    # sample 0 counts 2 steps, sample 1 counts 3
-    lp = float(jnp.log(1.0 / n_cls))
-    expect_pg = -0.5 * (0.2 * 2 * lp + (-0.2) * 3 * lp)
-    np.testing.assert_allclose(float(m["rl_pg"]), expect_pg, atol=1e-5)
+    # sample 0's policy is uniform -> zero entropy penalty rows; sample
+    # 1's edited rows are deliberately unnormalized, so its penalty is
+    # merely nonzero (sign is meaningless for a non-distribution)
+    assert float(m["rl_entropy"]) != 0.0 and np.isfinite(float(m["rl_entropy"]))
+    # rewards (0, -0.4): mean -0.2, std 0.2 -> normalized adv (+1, -1);
+    # per-sample step-MEAN of chosen logprobs, 2 counted steps for
+    # sample 0 (END at step 1), 3 for sample 1
+    lp0 = float(jnp.log(1.0 / n_cls))
+    expect_pg = -0.5 * (1.0 * (2 * lp0) / 2 + (-1.0) * (3 * lp1) / 3)
+    # atol covers the 1e-4 spread regularizer's ~5e-4 shift on adv=±1
+    np.testing.assert_allclose(float(m["rl_pg"]), expect_pg, atol=2e-3)
 
 
 def test_rl_step_runs_and_updates(setup):
