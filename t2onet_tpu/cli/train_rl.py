@@ -26,7 +26,12 @@ def main(argv=None):
     common.add_train_args(p)
     p.add_argument("--warmup", type=int, default=200,
                    help="supervised warmup iterations before RL")
-    p.add_argument("--entropy_factor", type=float, default=0.05)
+    # 0.01, not the reference flag's 0.05 (fiveK_train_options.py): at
+    # 0.05 the uniform-pull on the op logits measurably overpowers the
+    # REINFORCE signal during fine-tuning — per-step entropy penalty fell
+    # 6.35 -> 0.72 over 300 RL iters while sampled-rollout L1 drifted
+    # from 0.094 toward the identity edit's 0.16 (round-5 run record).
+    p.add_argument("--entropy_factor", type=float, default=0.01)
     p.add_argument("--param_noise", type=float, default=0.0,
                    help="exploration noise on op params (reference "
                         "param_noise_factor 0.6; 0 = off)")
